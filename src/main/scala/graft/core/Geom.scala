@@ -83,7 +83,7 @@ object Geom {
   }
 
   /** Simple polygon with optional holes; exterior ring may be open or closed. */
-  final case class Polygon(ring: Array[Pt], holes: Array[Array[Pt]] = Array.empty) {
+  final case class Polygon(ring: Array[Pt], holes: Array[Array[Pt]] = Array.empty) extends Serializable {
     lazy val env: Env = {
       var nx, ny = Double.PositiveInfinity
       var xx, xy = Double.NegativeInfinity
@@ -206,7 +206,7 @@ object Geom {
    * the refine-stage analog of the reference's per-partition R*-tree
    * (`CityGMLV2DB.java:211-231`) — built once per broadcast, probed per row.
    */
-  final class PreparedPolygon(val poly: Polygon, stripes: Int = 16) {
+  final class PreparedPolygon(val poly: Polygon, stripes: Int = 16) extends Serializable {
     private val env = poly.env
     private val sy = env.miny
     private val step = math.max((env.maxy - env.miny) / stripes, 1e-300)

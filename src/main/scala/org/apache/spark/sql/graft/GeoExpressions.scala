@@ -1,0 +1,228 @@
+/*
+ * Lives under org.apache.spark.sql.* because Catalyst's extension surface
+ * (AbstractDataType, ExpressionUtils) is private[sql] in Spark 4; this is the
+ * standard pattern for third-party expression libraries. Public API wrappers
+ * are re-exported from graft.functions.GeoFunctions.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.{HexGrid, Tiles, ZGrid}
+
+/**
+ * Native Catalyst expressions for the hot encode path (SURVEY.md §2.9): these
+ * stay inside whole-stage codegen (doGenCode emits a static call), unlike a
+ * Scala UDF which would break the codegen span and pay ser/de per row on the
+ * 10^12-row side of the join.
+ */
+case class HexEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def nullSafeEval(x: Any, y: Any, r: Any): Any =
+    HexGrid.encode(x.asInstanceOf[Double], y.asInstanceOf[Double], r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, r) => s"graft.core.HexGrid.encode($x, $y, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "hex_encode"
+}
+
+case class ZEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def nullSafeEval(x: Any, y: Any, l: Any): Any =
+    ZGrid.encode(x.asInstanceOf[Double], y.asInstanceOf[Double], l.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, l) => s"graft.core.ZGrid.encode($x, $y, $l)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "z_encode"
+}
+
+/** WMTS tile id of a point at zoom z (packed long, [[graft.core.Tiles.pack]]). */
+case class TileOfExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    Tiles.pack(Tiles.tileOf(x.asInstanceOf[Double], y.asInstanceOf[Double], z.asInstanceOf[Int]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) =>
+      s"graft.core.Tiles.pack(graft.core.Tiles.tileOf($x, $y, $z))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "tile_of"
+}
+
+/**
+ * Boundary-inclusive point-in-polygon over a ring column
+ * (`array<struct<x:double,y:double>>`) — the refine predicate of the
+ * filter-refine spatial join. Evaluates directly on Catalyst ArrayData
+ * (no row materialization). CodegenFallback: the ring side is the small
+ * (broadcast) side post-join, so interpretation cost is bounded by candidate
+ * pairs, not by the 10^12-row scan.
+ */
+case class PipContainsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(new StructType().add("x", DoubleType).add("y", DoubleType)),
+      DoubleType, DoubleType)
+
+  override def nullSafeEval(ringAny: Any, xAny: Any, yAny: Any): Any = {
+    val ring = ringAny.asInstanceOf[ArrayData]
+    val x = xAny.asInstanceOf[Double]
+    val y = yAny.asInstanceOf[Double]
+    PipContainsExpr.coversRing(ring, x, y)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_covers_ring"
+}
+
+/**
+ * Full boundary-inclusive covers over (ring, holes, x, y): exact
+ * [[graft.core.Geom.Polygon.covers]] semantics (hole boundaries belong to the
+ * polygon) evaluated straight on Catalyst ArrayData.
+ */
+case class PipCoversExpr(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback with ExpectsInputTypes {
+  private val xyStruct = new StructType().add("x", DoubleType).add("y", DoubleType)
+  override def dataType: DataType = BooleanType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(xyStruct), ArrayType(ArrayType(xyStruct)), DoubleType, DoubleType)
+
+  override def nullSafeEval(ringAny: Any, holesAny: Any, xAny: Any, yAny: Any): Any = {
+    val ring = ringAny.asInstanceOf[ArrayData]
+    val holes = holesAny.asInstanceOf[ArrayData]
+    val x = xAny.asInstanceOf[Double]
+    val y = yAny.asInstanceOf[Double]
+    if (PipContainsExpr.onBoundary(ring, x, y)) return true
+    if (!PipContainsExpr.rayCast(ring, x, y)) return false
+    var i = 0
+    val nH = holes.numElements()
+    while (i < nH) {
+      val h = holes.getArray(i)
+      if (PipContainsExpr.onBoundary(h, x, y)) return true
+      if (PipContainsExpr.rayCast(h, x, y)) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_covers"
+}
+
+object PipContainsExpr {
+  private def effLen(ring: ArrayData): Int = {
+    val nAll = ring.numElements()
+    if (nAll < 2) return nAll
+    val r0 = ring.getStruct(0, 2)
+    val rl = ring.getStruct(nAll - 1, 2)
+    if (r0.getDouble(0) == rl.getDouble(0) && r0.getDouble(1) == rl.getDouble(1)) nAll - 1 else nAll
+  }
+
+  def onBoundary(ring: ArrayData, x: Double, y: Double): Boolean = {
+    val n = effLen(ring)
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val pi = ring.getStruct(i, 2); val pj = ring.getStruct(j, 2)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      val cross = (xj - xi) * (y - yi) - (yj - yi) * (x - xi)
+      if (math.abs(cross) <= 1e-12 * (math.abs(xj - xi) + math.abs(yj - yi) + 1.0) &&
+          x >= math.min(xi, xj) - 1e-12 && x <= math.max(xi, xj) + 1e-12 &&
+          y >= math.min(yi, yj) - 1e-12 && y <= math.max(yi, yj) + 1e-12) return true
+      j = i; i += 1
+    }
+    false
+  }
+
+  def rayCast(ring: ArrayData, x: Double, y: Double): Boolean = {
+    val n = effLen(ring)
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val pi = ring.getStruct(i, 2); val pj = ring.getStruct(j, 2)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      if ((yi > y) != (yj > y)) {
+        val xint = xi + (y - yi) / (yj - yi) * (xj - xi)
+        if (x < xint) inside = !inside
+      }
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** Ray cast + boundary test straight over ArrayData of struct<x,y>. */
+  def coversRing(ring: ArrayData, x: Double, y: Double): Boolean =
+    ring.numElements() >= 3 && (onBoundary(ring, x, y) || rayCast(ring, x, y))
+}
+
+/** Hex cells covering the polygon ring (generator-style: explode the result). */
+case class HexCoverExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(new StructType().add("x", DoubleType).add("y", DoubleType)), IntegerType)
+
+  override def nullSafeEval(ringAny: Any, resAny: Any): Any = {
+    val ring = ringAny.asInstanceOf[ArrayData]
+    val res = resAny.asInstanceOf[Int]
+    val pts = Array.tabulate(ring.numElements()) { i =>
+      val s = ring.getStruct(i, 2)
+      graft.core.Geom.Pt(s.getDouble(0), s.getDouble(1))
+    }
+    val cells = HexGrid.cover(graft.core.Geom.Polygon(pts), res)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hex_cover"
+}
+
+/** Column-level API + SQL registration. */
+object GeoFunctionsImpl {
+  import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+
+  def hex_encode(x: Column, y: Column, res: Column): Column =
+    column(HexEncodeExpr(expression(x), expression(y), expression(res)))
+  def z_encode(x: Column, y: Column, level: Column): Column =
+    column(ZEncodeExpr(expression(x), expression(y), expression(level)))
+  def tile_of(x: Column, y: Column, z: Column): Column =
+    column(TileOfExpr(expression(x), expression(y), expression(z)))
+  def st_covers_ring(ring: Column, x: Column, y: Column): Column =
+    column(PipContainsExpr(expression(ring), expression(x), expression(y)))
+  def st_covers(ring: Column, holes: Column, x: Column, y: Column): Column =
+    column(PipCoversExpr(expression(ring), expression(holes), expression(x), expression(y)))
+  def hex_cover(ring: Column, res: Column): Column =
+    column(HexCoverExpr(expression(ring), expression(res)))
+
+  /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hex_encode", es => HexEncodeExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("z_encode", es => ZEncodeExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("tile_of", es => TileOfExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
+  }
+}
