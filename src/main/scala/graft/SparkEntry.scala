@@ -1,13 +1,357 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.model._
+import graft.operators.{KnnJoin, PipJoin, XLinkResolve}
+import graft.sources.{CityGmlReader, CityJsonReader, ImageGen}
+
+/**
+ * Driver contract (SURVEY.md §2 operator inventory → named queries).
+ *
+ * Every SQL-expressible operator carries a DuckDB oracle over the same parquet
+ * tables; geospatial queries that need deterministic coordinates derive them
+ * arithmetically from integer keys (bit-identical doubles in Spark and DuckDB).
+ * Engine-only queries (CityGML fixtures, synthetic images) have no oracle —
+ * their exact row sets are asserted against brute-force oracles in ScalaTest.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- deterministic planar coordinates derived from integer columns ----
+  // x = 457840 + ((id*7919) % 1600) * 0.01   (∈ [457840, 457856))
+  // y = 5439081 + ((id*104729) % 1400) * 0.01 (∈ [5439081, 5439095))
+  private def withXY(df: DataFrame, id: String): DataFrame = df
+    .withColumn("x", lit(457840.0) + ((col(id) * 7919L) % 1600L).cast("double") * lit(0.01))
+    .withColumn("y", lit(5439081.0) + ((col(id) * 104729L) % 1400L).cast("double") * lit(0.01))
+  private val xySql =
+    """457840.0 + CAST((%ID% * 7919) %% 1600 AS DOUBLE) * 0.01::DOUBLE AS x,
+       5439081.0 + CAST((%ID% * 104729) %% 1400 AS DOUBLE) * 0.01::DOUBLE AS y"""
+
+  // fixture-derived footprints (engine-only queries)
+  private lazy val fzkFootprints: Seq[Footprint] =
+    CityGmlReader.toFootprints(
+      CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
+  private lazy val cjFootprints: Seq[Footprint] =
+    CityJsonReader.toFootprints(
+      CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json"), 1)
+
+  /** Flagship: synthetic geotagged images PIP-joined to the FZK footprint. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pts = ImageGen.points(spark, 2000, 8).toDF("image_id", "x", "y")
+    val polys = spark.createDataset(fzkFootprints.filter(_.feature_type == "Building"))
+    PipJoin.broadcastJoin(pts, polys)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- generic operator coverage (reference §2.2/2.3/2.4/2.5) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+          max("l_extendedprice").as("max_price"))
+    }),
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+          && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+    "q3_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), max("o_totalprice").as("max_price"))
+    }),
+    "q4_join_agg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "q5_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+    }),
+    "q6_census" -> ((s, dir) => {
+      // label census semantics (Neo4jDB.summarize, Neo4jDB.java:471-501)
+      t(s, dir, "events").groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    }),
+    "q7_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey")
+    }),
+    "q8_env_agg" -> ((s, dir) => {
+      // A1 bbox aggregation analog: per-group min/max envelope
+      t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"))
+    }),
+    "q9_xlink_audit" -> ((s, dir) => {
+      // J1 XLink resolution with unresolved/ambiguous audit (CityKGDB.java:260-338)
+      val hrefs = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").cast("string").as("owner_id"),
+          // 1/97 unresolved (id pushed out of range); 1/50 missing '#' (P5 normalization)
+          when(col("l_orderkey") % 50 === 0,
+            (col("l_orderkey") + when(col("l_orderkey") % 97 === 0, 1000000000L).otherwise(0L)).cast("string"))
+            .otherwise(concat(lit("#"),
+              (col("l_orderkey") + when(col("l_orderkey") % 97 === 0, 1000000000L).otherwise(0L)).cast("string")))
+            .as("href"),
+          lit(0).as("partition_id"))
+      val ids = t(s, dir, "orders").select(col("o_orderkey").cast("string").as("id"),
+          lit("order").as("kind"), lit(0).as("partition_id"))
+        .unionByName(t(s, dir, "orders").where(col("o_orderkey") % 1000 === 0)
+          .select(col("o_orderkey").cast("string").as("id"),
+            lit("order_dup").as("kind"), lit(0).as("partition_id")))
+      XLinkResolve.audit(XLinkResolve.resolve(hrefs, ids))
+    }),
+
+    // ---- geospatial with arithmetic-derived coordinates (SQL-checkable) ----
+    "q10_cell_grid" -> ((s, dir) => {
+      // Z-order cell encode at level 16 → per-cell census
+      val pts = withXY(t(s, dir, "events"), "event_id")
+      pts.withColumn("cell", z_encode(col("x"), col("y"), lit(22)))
+        .groupBy(z_cell_x(col("cell")).as("ix"), z_cell_y(col("cell")).as("iy"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "q11_pip_join" -> ((s, dir) => {
+      import s.implicits._
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("x"), col("y"))
+      val rect = Footprint("rect_fzk", "Query", 0,
+        Seq(XY(457842, 5439083), XY(457854, 5439083), XY(457854, 5439093), XY(457842, 5439093)),
+        Seq.empty, Env6(457842, 5439083, 0, 457854, 5439093, 0), XY(457848, 5439088), Map.empty)
+      val tri = Footprint("tri_1", "Query", 0,
+        Seq(XY(457845.335, 5439084.125), XY(457852.785, 5439086.295), XY(457848.115, 5439092.635)),
+        Seq.empty, Env6(457845.335, 5439084.125, 0, 457852.785, 5439092.635, 0),
+        XY(457848.745, 5439087.685), Map.empty)
+      PipJoin.broadcastJoin(pts, s.createDataset(Seq(rect, tri)), res = 12)
+        .select(col("event_id"), col("feature_id"))
+    }),
+    "q12_knn" -> ((s, dir) => {
+      val probes = withXY(t(s, dir, "events").where(col("event_id") % 97 === 0), "event_id")
+        .select(col("event_id").cast("string").as("probe_id"), col("x"), col("y"))
+      val targets = t(s, dir, "part").where(col("p_partkey") <= 200)
+        .select(concat(lit("t"), col("p_partkey")).as("target_id"),
+          (lit(457840.0) + ((col("p_partkey") * 7L) % 40L).cast("double") * lit(0.4)).as("cx"),
+          (lit(5439081.0) + ((col("p_partkey") * 13L) % 35L).cast("double") * lit(0.4)).as("cy"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      KnnJoin.broadcastGrid(probes, targets, k = 3, res = 12)
+    }),
+    "q13_tile_topk" -> ((s, dir) => {
+      // raster↔vector assignment: WMTS tile of each point at zoom 20, top-2 per tile
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .withColumn("tile_id", tile_of(col("x"), col("y"), lit(24)))
+        .withColumn("tx", expr("shiftright(tile_id, 29) & 536870911"))
+        .withColumn("ty", expr("tile_id & 536870911"))
+      val w = Window.partitionBy("tx", "ty").orderBy("event_id")
+      pts.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select("tx", "ty", "event_id", "rn")
+    }),
+    "q14_range_join" -> ((s, dir) => {
+      // P6/J4 AABB intersection join — touching boxes INCLUDED (Neo4jDB.java:378-380)
+      val boxes = t(s, dir, "part").where(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          (((col("p_partkey") * 3L) % 20L).cast("double") * lit(2.0)).as("bminx"),
+          (((col("p_partkey") * 7L) % 20L).cast("double") * lit(2.0)).as("bminy"))
+        .withColumn("bmaxx", col("bminx") + 3.0).withColumn("bmaxy", col("bminy") + 3.0)
+      val queries = t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          ((col("n_nationkey") % 5L).cast("double") * lit(8.0)).as("qminx"),
+          (((col("n_nationkey") * 3L) % 10L).cast("double") * lit(4.0)).as("qminy"))
+        .withColumn("qmaxx", col("qminx") + 6.0).withColumn("qmaxy", col("qminy") + 6.0)
+      boxes.join(broadcast(queries),
+        !(col("bminx") > col("qmaxx") || col("bmaxx") < col("qminx") ||
+          col("bminy") > col("qmaxy") || col("bmaxy") < col("qminy")))
+        .select("p_partkey", "n_nationkey")
+    }),
+
+    // ---- training-data pipeline ops over documents ----
+    "q17_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+    }),
+    "q15_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+    }),
+    "q16_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp16"))
+    }),
+
+    // ---- event-time windowing (batch shape of the streaming op) ----
+    "q24_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), max("value").as("max_value"))
+    }),
+    "q25_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap", unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+        .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+        .groupBy("user_id").agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- engine-only (no SQL oracle; ScalaTest asserts exact row sets) ----
+    "g1_footprint_census" -> ((s, dir) => {
+      import s.implicits._
+      // reference label census (A2): desc by count, asc by type (DBStats.java:88-103)
+      s.createDataset(fzkFootprints ++ cjFootprints).toDF()
+        .groupBy("partition_id", "feature_type").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("feature_type"))
+    }),
+    "g2_pip_images" -> ((s, dir) => {
+      import s.implicits._
+      val pts = ImageGen.points(s, 5000, 8).toDF("image_id", "x", "y")
+      val polys = s.createDataset(
+        (fzkFootprints ++ cjFootprints).filter(_.feature_type == "Building"))
+      PipJoin.broadcastJoin(pts, polys).select("image_id", "feature_id", "x", "y")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS cnt, max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1, 2""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 45""",
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, max(o_totalprice) AS max_price
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "q4_join_agg" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
+    "q5_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, rnk FROM (
+           SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "q6_census" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
+    "q7_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q8_env_agg" ->
+      """SELECT l_orderkey, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1""",
+    "q9_xlink_audit" ->
+      """WITH hr AS (
+           SELECT l_orderkey,
+                  CAST(l_orderkey + CASE WHEN l_orderkey %% 97 = 0 THEN 1000000000 ELSE 0 END AS VARCHAR) AS target
+           FROM lineitem WHERE l_linenumber = 1),
+         ids AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders
+           UNION ALL
+           SELECT CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey %% 1000 = 0),
+         m AS (
+           SELECT hr.l_orderkey, count(ids.id) AS mc
+           FROM hr LEFT JOIN ids ON hr.target = ids.id GROUP BY 1)
+         SELECT CASE WHEN mc = 0 THEN 'unresolved'
+                     WHEN mc > 1 THEN 'ambiguous'
+                     ELSE 'resolved' END AS status, count(*) AS cnt
+         FROM m GROUP BY 1""",
+    "q10_cell_grid" ->
+      s"""WITH pts AS (SELECT ${xySql.replace("%ID%", "event_id")} FROM events)
+         SELECT CAST(floor(x / 33554432.0 * 4194304.0) AS BIGINT) AS ix,
+                CAST(floor(y / 33554432.0 * 4194304.0) AS BIGINT) AS iy,
+                count(*) AS cnt
+         FROM pts GROUP BY 1, 2""",
+    "q11_pip_join" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
+         rect AS (
+           SELECT event_id, 'rect_fzk' AS feature_id FROM pts
+           WHERE x >= 457842.0 AND x <= 457854.0 AND y >= 5439083.0 AND y <= 5439093.0),
+         tri AS (
+           SELECT event_id, 'tri_1' AS feature_id FROM pts
+           WHERE (457852.785 - 457845.335) * (y - 5439084.125) - (5439086.295 - 5439084.125) * (x - 457845.335) >= 0
+             AND (457848.115 - 457852.785) * (y - 5439086.295) - (5439092.635 - 5439086.295) * (x - 457852.785) >= 0
+             AND (457845.335 - 457848.115) * (y - 5439092.635) - (5439084.125 - 5439092.635) * (x - 457848.115) >= 0)
+         SELECT * FROM rect UNION ALL SELECT * FROM tri""",
+    "q12_knn" ->
+      s"""WITH probes AS (
+           SELECT CAST(event_id AS VARCHAR) AS probe_id,
+                  ${xySql.replace("%ID%", "event_id")}
+           FROM events WHERE event_id %% 97 = 0),
+         targets AS (
+           SELECT 't' || p_partkey AS target_id,
+                  457840.0 + CAST((p_partkey * 7) %% 40 AS DOUBLE) * 0.4::DOUBLE AS cx,
+                  5439081.0 + CAST((p_partkey * 13) %% 35 AS DOUBLE) * 0.4::DOUBLE AS cy
+           FROM part WHERE p_partkey <= 200),
+         d AS (
+           SELECT probe_id, target_id,
+                  (cx - x) * (cx - x) + (cy - y) * (cy - y) AS d2
+           FROM probes CROSS JOIN targets)
+         SELECT probe_id, target_id, d2, rnk FROM (
+           SELECT probe_id, target_id, d2,
+                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d2, target_id) AS INT) AS rnk
+           FROM d) WHERE rnk <= 3""",
+    "q13_tile_topk" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
+         tiles AS (
+           SELECT event_id,
+                  CAST(floor(x / 33554432.0 * 16777216.0) AS BIGINT) AS tx,
+                  16777215 - CAST(floor(y / 33554432.0 * 16777216.0) AS BIGINT) AS ty
+           FROM pts)
+         SELECT tx, ty, event_id, rn FROM (
+           SELECT tx, ty, event_id,
+                  CAST(row_number() OVER (PARTITION BY tx, ty ORDER BY event_id) AS INT) AS rn
+           FROM tiles) WHERE rn <= 2""",
+    "q14_range_join" ->
+      """WITH boxes AS (
+           SELECT p_partkey,
+                  CAST((p_partkey * 3) %% 20 AS DOUBLE) * 2.0::DOUBLE AS bminx,
+                  CAST((p_partkey * 7) %% 20 AS DOUBLE) * 2.0::DOUBLE AS bminy
+           FROM part WHERE p_partkey <= 300),
+         qs AS (
+           SELECT n_nationkey,
+                  CAST(n_nationkey %% 5 AS DOUBLE) * 8.0::DOUBLE AS qminx,
+                  CAST((n_nationkey * 3) %% 10 AS DOUBLE) * 4.0::DOUBLE AS qminy
+           FROM nation)
+         SELECT p_partkey, n_nationkey FROM boxes, qs
+         WHERE NOT (bminx > qminx + 6.0 OR bminx + 3.0 < qminx OR
+                    bminy > qminy + 6.0 OR bminy + 3.0 < qminy)""",
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q15_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(length(text) AS INT) AS len_chars
+         FROM documents""",
+    "q16_fingerprint" ->
+      """SELECT doc_id, lang, substring(md5(lower(text)), 1, 16) AS fp16
+         FROM documents""",
+    "q24_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                count(*) AS cnt, max(value) AS max_value
+         FROM events GROUP BY 1, 2""",
+    "q25_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+           FROM events)
+         SELECT user_id,
+                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM g GROUP BY 1"""
+  ).map { case (k, v) => k -> v.replace("%%", "%") }
 }

@@ -16,6 +16,10 @@ object GeoFunctions {
     org.apache.spark.sql.graft.GeoFunctionsImpl.st_covers(ring, holes, x, y)
   def hex_cover(ring: Column, res: Column): Column =
     org.apache.spark.sql.graft.GeoFunctionsImpl.hex_cover(ring, res)
+  def z_cell_x(cell: Column): Column =
+    org.apache.spark.sql.graft.GeoFunctionsImpl.z_cell_x(cell)
+  def z_cell_y(cell: Column): Column =
+    org.apache.spark.sql.graft.GeoFunctionsImpl.z_cell_y(cell)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.GeoFunctionsImpl.register(spark)
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.HexGrid
+
+/**
+ * k-nearest-neighbour join against city-object centroids (BASELINE.json
+ * north_star: "kNN via cell-ring expansion"). No reference counterpart exists
+ * (SURVEY.md §2.3) — the reference only does bbox range queries — so semantics
+ * are defined here: k nearest targets by squared Euclidean distance,
+ * deterministic tie-break on target id ascending.
+ *
+ * Two physical paths:
+ *
+ *  1. [[broadcastGrid]] — targets fit in a broadcast (buildings ≤ millions):
+ *     targets are bucketed into hex cells at a resolution sized to the target
+ *     density; every probe expands k-rings locally until the provable stop
+ *     bound. Zero shuffle on the probe side — the 10^12-row-scan shape.
+ *
+ *  2. [[ringJoin]] — giant target side: iterative (ring-r explode) ⋈ (targets
+ *     by cell) equi-joins, accumulating candidates until every probe holds k
+ *     neighbours within the ring-r guarantee radius. Each round is one
+ *     shuffle-free broadcast or one shuffle join; rounds are bounded by the
+ *     stop bound below.
+ *
+ * Stop bound: for hexagons with apothem a, two cells at hex distance h have
+ * center distance ≥ √3·a·h (tight along the alternating-neighbor direction),
+ * and any point lies within one circumradius 2a/√3 of its cell center, so a
+ * target in a cell at hex distance ≥ h is at Euclidean distance
+ * ≥ √3·a·h − 2·(2a/√3) = √3·a·(h − 4/3). Once the current k-th candidate
+ * distance ≤ √3·a·(R+1 − 4/3), no cell beyond ring R can improve the result.
+ * (Property-tested against the brute-force oracle in KnnJoinSpec.)
+ */
+object KnnJoin {
+
+  /** Provable lower bound on distance to any target in cells at hex dist ≥ r. */
+  def ringLowerBound(res: Int, r: Int): Double = {
+    val a = HexGrid.apothem(res)
+    math.max(0.0, math.sqrt(3.0) * a * (r - 4.0 / 3.0))
+  }
+
+  final case class Neighbor(target_id: String, d2: Double)
+
+  /**
+   * Broadcast-grid path. `targets`: (target_id, cx, cy). Output columns:
+   * probe_id, target_id, d2, rnk (1-based by (d2, target_id)).
+   */
+  def broadcastGrid(probes: DataFrame, targets: Seq[(String, Double, Double)],
+                    k: Int, res: Int = 12, maxR: Int = 64): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val grid: Map[Long, Array[(String, Double, Double)]] =
+      targets.groupBy(t => HexGrid.encode(t._2, t._3, res))
+        .map { case (c, ts) => c -> ts.toArray }
+    val bc = spark.sparkContext.broadcast(grid)
+    val pts = probes.select(col("probe_id").cast("string"), col("x").cast("double"),
+      col("y").cast("double")).as[(String, Double, Double)]
+    pts.flatMap { case (pid, x, y) =>
+      val g = bc.value
+      val c0 = HexGrid.encode(x, y, res)
+      val best = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var r = 0
+      var done = false
+      while (!done && r <= maxR) {
+        val cells = if (r == 0) Array(c0) else HexGrid.ring(c0, r)
+        var i = 0
+        while (i < cells.length) {
+          g.get(cells(i)).foreach { ts =>
+            var j = 0
+            while (j < ts.length) {
+              val t = ts(j)
+              val dx = t._2 - x; val dy = t._3 - y
+              best += ((t._1, dx * dx + dy * dy))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        if (best.size >= k) {
+          val sorted = best.sortBy(b => (b._2, b._1))
+          val kth = math.sqrt(sorted(k - 1)._2)
+          // strict <: unseen targets are then strictly farther, so no tie with
+          // the k-th candidate can be missed
+          if (kth < ringLowerBound(res, r + 1)) done = true
+        }
+        r += 1
+      }
+      best.sortBy(b => (b._2, b._1)).take(k).zipWithIndex.map {
+        case ((tid, d2), idx) => (pid, tid, d2, idx + 1)
+      }
+    }.toDF("probe_id", "target_id", "d2", "rnk")
+  }
+
+  /**
+   * Distributed ring-expansion path for huge target sides: per round r,
+   * unfinished probes explode their ring-r cells and equi-join targets
+   * bucketed by cell; terminate when the k-th best distance beats the ring
+   * bound. Candidate accumulation is a union + window top-k per probe.
+   */
+  def ringJoin(probes: DataFrame, targets: DataFrame,
+               k: Int, res: Int = 12, maxR: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    graft.functions.GeoFunctions.register(spark)
+    val t = targets.select(col("target_id").cast("string"),
+      col("cx").cast("double"), col("cy").cast("double"))
+      .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
+    var pending = probes.select(col("probe_id").cast("string"),
+      col("x").cast("double"), col("y").cast("double"))
+    var acc: DataFrame = null
+    var r = 0
+    while (r <= maxR && !pending.isEmpty) {
+      val ringUdf = udf((x: Double, y: Double) => {
+        val c0 = HexGrid.encode(x, y, res)
+        if (r == 0) Array(c0) else HexGrid.ring(c0, r)
+      })
+      val cand = pending.withColumn("pcell", explode(ringUdf(col("x"), col("y"))))
+        .join(t, col("pcell") === col("tcell"))
+        .select(col("probe_id"), col("x"), col("y"), col("target_id"),
+          ((col("cx") - col("x")) * (col("cx") - col("x")) +
+           (col("cy") - col("y")) * (col("cy") - col("y"))).as("d2"))
+      acc = if (acc == null) cand else acc.unionByName(cand)
+      acc = acc.localCheckpoint(false)
+      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
+      val ranked = acc.withColumn("rnk", row_number().over(w))
+      val bound = ringLowerBound(res, r + 1)
+      val doneProbes = ranked.where(col("rnk") === k && sqrt(col("d2")) < bound)
+        .select(col("probe_id").as("done_id"))
+      pending = pending.join(doneProbes, col("probe_id") === col("done_id"), "left_anti")
+      r += 1
+    }
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
+    acc.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Driver-side brute-force oracle (tests). */
+  def bruteForce(probes: Seq[(String, Double, Double)],
+                 targets: Seq[(String, Double, Double)], k: Int): Seq[(String, String, Double, Int)] =
+    probes.flatMap { case (pid, x, y) =>
+      targets.map { case (tid, cx, cy) =>
+        val dx = cx - x; val dy = cy - y
+        (tid, dx * dx + dy * dy)
+      }.sortBy(t => (t._2, t._1)).take(k).zipWithIndex.map {
+        case ((tid, d2), i) => (pid, tid, d2, i + 1)
+      }
+    }
+}

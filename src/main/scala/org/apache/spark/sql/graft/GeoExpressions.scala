@@ -175,6 +175,28 @@ object PipContainsExpr {
     ring.numElements() >= 3 && (onBoundary(ring, x, y) || rayCast(ring, x, y))
 }
 
+/** Column index (x) of a quad cell — codegen'd static call. */
+case class ZCellXExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullSafeEval(c: Any): Any = ZGrid.ix(c.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.ZGrid.ix($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "z_cell_x"
+}
+
+/** Row index (y) of a quad cell — codegen'd static call. */
+case class ZCellYExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def nullSafeEval(c: Any): Any = ZGrid.iy(c.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.ZGrid.iy($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "z_cell_y"
+}
+
 /** Hex cells covering the polygon ring (generator-style: explode the result). */
 case class HexCoverExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
@@ -214,6 +236,8 @@ object GeoFunctionsImpl {
     column(PipCoversExpr(expression(ring), expression(holes), expression(x), expression(y)))
   def hex_cover(ring: Column, res: Column): Column =
     column(HexCoverExpr(expression(ring), expression(res)))
+  def z_cell_x(cell: Column): Column = column(ZCellXExpr(expression(cell)))
+  def z_cell_y(cell: Column): Column = column(ZCellYExpr(expression(cell)))
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -224,5 +248,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
   }
 }

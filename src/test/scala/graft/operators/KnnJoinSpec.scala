@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class KnnJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // seeded random probes + targets in a 200x200 m window (UTM-like offsets)
+  val rnd = new scala.util.Random(42)
+  val targets: Seq[(String, Double, Double)] = (0 until 300).map { i =>
+    (f"t$i%03d", 457800.0 + rnd.nextDouble() * 200, 5439000.0 + rnd.nextDouble() * 200)
+  }
+  val probes: Seq[(String, Double, Double)] = (0 until 500).map { i =>
+    (f"p$i%03d", 457790.0 + rnd.nextDouble() * 220, 5438990.0 + rnd.nextDouble() * 220)
+  }
+
+  test("broadcastGrid kNN == brute force at several resolutions (stop-bound proof)") {
+    val want = KnnJoin.bruteForce(probes, targets, 3).toSet
+    for (res <- Seq(10, 11, 12, 13)) {
+      val got = KnnJoin.broadcastGrid(
+        probes.toDF("probe_id", "x", "y"), targets, k = 3, res = res)
+        .as[(String, String, Double, Int)].collect().toSet
+      assert(got === want, s"res=$res")
+    }
+  }
+
+  test("broadcastGrid kNN with clustered targets (dense-cell skew)") {
+    // all targets inside one 10x10 m cell neighbourhood
+    val dense = (0 until 200).map { i =>
+      (f"d$i%03d", 457848.0 + (i % 20) * 0.3, 5439088.0 + (i / 20) * 0.3)
+    }
+    val want = KnnJoin.bruteForce(probes, dense, 5).toSet
+    val got = KnnJoin.broadcastGrid(probes.toDF("probe_id", "x", "y"), dense, 5, res = 12,
+      maxR = 256).as[(String, String, Double, Int)].collect().toSet
+    assert(got === want)
+  }
+
+  test("distributed ringJoin kNN == brute force") {
+    val want = KnnJoin.bruteForce(probes.take(60), targets, 3).toSet
+    val got = KnnJoin.ringJoin(
+      probes.take(60).toDF("probe_id", "x", "y"),
+      targets.toDF("target_id", "cx", "cy"), k = 3, res = 11, maxR = 24)
+      .select("probe_id", "target_id", "d2", "rnk")
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(got === want)
+  }
+
+  test("ringLowerBound is a true lower bound (random sampling)") {
+    val res = 11
+    val r2 = new scala.util.Random(7)
+    for (_ <- 1 to 20000) {
+      val x1 = r2.nextDouble() * 10000; val y1 = r2.nextDouble() * 10000
+      val x2 = r2.nextDouble() * 10000; val y2 = r2.nextDouble() * 10000
+      val h = graft.core.HexGrid.dist(
+        graft.core.HexGrid.encode(x1, y1, res), graft.core.HexGrid.encode(x2, y2, res))
+      val d = math.hypot(x1 - x2, y1 - y2)
+      assert(d >= KnnJoin.ringLowerBound(res, h) - 1e-9,
+        s"d=$d h=$h bound=${KnnJoin.ringLowerBound(res, h)}")
+    }
+  }
+}
