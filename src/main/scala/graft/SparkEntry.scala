@@ -192,6 +192,46 @@ object SparkEntry {
         substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp16"))
     }),
 
+    "q18_minhash_sig" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val d = t(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+      Dedup.minhash(d, perms = 4)
+    }),
+    "q19_lsh_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
+    }),
+    "q20_simhash" -> ((s, dir) => {
+      // bit-mixing not ANSI-expressible → rows-only here; exact semantics
+      // asserted vs brute force in DedupAnnSpec
+      graft.operators.Dedup.simhash(t(s, dir, "documents"))
+    }),
+    "q21_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      graft.operators.AnnSearch.lshTopK(e, probes, k = 5, planes = 4, bands = 12)
+        .select("probe_id", "vec_id", "cos", "rnk")
+    }),
+    "q22_embed_neardup" -> ((s, dir) => {
+      // plant deterministic near-duplicates (vec + 0.001 on dim 0), find them
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(transform(col("embedding"), v => v + lit(0.001f)), 1, 1),
+            slice(col("embedding"), 2, 1000)).as("embedding"))
+      graft.operators.Dedup.embeddingNearDup(e.unionByName(planted), minCosine = 0.999)
+    }),
+    "q26_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id") +: graft.functions.TextFunctions.qualityColumns(col("text")): _*)
+    }),
+    "q27_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- event-time windowing (batch shape of the streaming op) ----
     "q24_tumbling_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -339,6 +379,52 @@ object SparkEntry {
          FROM documents""",
     "q16_fingerprint" ->
       """SELECT doc_id, lang, substring(md5(lower(text)), 1, 16) AS fp16
+         FROM documents""",
+    "q18_minhash_sig" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3)
+         SELECT doc_id, min(md5(s || '_1')) AS m1, min(md5(s || '_2')) AS m2,
+                min(md5(s || '_3')) AS m3, min(md5(s || '_4')) AS m4
+         FROM sh GROUP BY 1""",
+    "q19_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+                              string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3),
+         sig AS (
+           SELECT doc_id, min(md5(s || '_1')) AS m1, min(md5(s || '_2')) AS m2,
+                  min(md5(s || '_3')) AS m3, min(md5(s || '_4')) AS m4
+           FROM sh GROUP BY 1),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m4 = b.m4 AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jac
+         FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+         WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) >= 0.5""",
+    "q26_quality" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+                (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+                0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0::DOUBLE) +
+                0.3::DOUBLE * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                               CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+                0.2::DOUBLE * least(1.0::DOUBLE,
+                               ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
+                                CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
          FROM documents""",
     "q24_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

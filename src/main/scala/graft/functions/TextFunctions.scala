@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines: language ID (stopword + n-gram
+ * heuristic), quality scoring, token counting, document fingerprinting.
+ * Everything on the scan path is built-in Catalyst functions.
+ */
+object TextFunctions {
+
+  /** Small per-language stopword profiles (public common-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por", "con", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Fraction of a language's stopwords present among the doc's tokens. */
+  def stopwordHits(toks: Column, lang: String): Column = {
+    val hits = stopwords(lang).map(w => when(array_contains(toks, w), 1).otherwise(0))
+    hits.reduce[Column](_ + _).cast("double") / lit(stopwords(lang).size.toDouble)
+  }
+
+  /**
+   * Heuristic language ID: CJK-character ratio decides zh; otherwise the
+   * language whose stopword profile scores highest (ties → 'und').
+   * Pure column expressions — codegen'd over the 100 TB scan.
+   */
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(textCol), "\\s+")
+    val cjk = length(regexp_replace(textCol, "[^\\u4e00-\\u9fff]", "")).cast("double") /
+      greatest(length(textCol).cast("double"), lit(1.0))
+    val scored = Seq("en", "de", "fr", "es").map(l => struct(stopwordHits(toks, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(cjk > 0.2, lit("zh"))
+      .when(best.getField("s") > 0.0, best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  /** Token count: whitespace tokens. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, "\\s+"))
+
+  /** BPE-ish subword count estimate: regex word-piece segmentation. */
+  def subwordCount(textCol: Column): Column =
+    size(split(textCol, "(?<=[a-z])(?=[A-Z])|\\s+|(?=[^\\w\\s])"))
+
+  /**
+   * Quality score ∈ [0,1]: length, lexical diversity, mean word length.
+   * All arithmetic is ANSI-expressible (DuckDB-oracle-checked as q26).
+   */
+  def qualityColumns(textCol: Column): Seq[Column] = {
+    val toks = split(textCol, " ")
+    val nTok = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val meanWordLen = (length(textCol).cast("double") - nTok + lit(1.0)) / nTok
+    val score = lit(0.5) * least(lit(1.0), nTok / lit(50.0)) +
+      lit(0.3) * distinctRatio +
+      lit(0.2) * least(lit(1.0), meanWordLen / lit(8.0))
+    Seq(nTok.cast("int").as("n_tokens"), distinctRatio.as("distinct_ratio"),
+      meanWordLen.as("mean_word_len"), score.as("quality"))
+  }
+
+  /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
+  def fingerprint(textCol: Column): Column =
+    substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)
+
+  def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
+      fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)
+}

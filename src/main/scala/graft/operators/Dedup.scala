@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ * All hot paths are built-in Catalyst functions (codegen'd, no Scala UDFs on
+ * the scan side); candidate generation is LSH-style banding so the shuffle is
+ * an equi-join on band keys — never an all-pairs cross join.
+ */
+object Dedup {
+
+  /** Exact dedup: content hash → keeper (min id) + copy count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Whitespace word tokens (lowercased). */
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Sliding word n-grams (shingles) as an array column — pure built-ins. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array())
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /**
+   * MinHash signature columns: per permutation p, min over shingles of
+   * md5(shingle || "_p"). Using the hex-string order statistic keeps the
+   * operator expressible in ANSI SQL (DuckDB-oracle-checkable) while having
+   * the same collision semantics as integer MinHash.
+   */
+  def minhashSig(sh: Column, perms: Int): Seq[Column] =
+    (1 to perms).map { p =>
+      array_min(transform(sh, s => md5(concat(s, lit(s"_$p")).cast("binary"))))
+        .as(s"m$p")
+    }
+
+  /** doc_id + MinHash signature (one row per doc). */
+  def minhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              perms: Int = 4, ngram: Int = 3): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), ngram)
+    docs.select(col(idCol) +: minhashSig(sh, perms): _*)
+  }
+
+  /**
+   * LSH candidate pairs: docs sharing ANY signature band (band size 1 here:
+   * each permutation is a bucket key), verified with exact n-gram Jaccard.
+   * Shuffle shape: explode(perms) → groupBy bucket self-join → distinct pairs.
+   */
+  def lshPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+               perms: Int = 4, ngram: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val withSig = docs
+      .withColumn("toks", array_distinct(tokens(col(textCol))))
+      .withColumn("sh", shingles(tokens(col(textCol)), ngram))
+    val sig = withSig.select(col(idCol).as("id"), col("toks"),
+      array((1 to perms).map(p =>
+        array_min(transform(col("sh"), s => md5(concat(s, lit(s"_$p")).cast("binary"))))): _*).as("bands"))
+    val buckets = sig.select(col("id"), col("toks"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b")).distinct()
+      .withColumn("jac",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
+  def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
+    val tok = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }
+    (for {
+      (ia, sa) <- tok; (ib, sb) <- tok if ia < ib
+      jac = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if jac >= minJaccard
+    } yield (ia, ib, jac)).toSet
+  }
+
+  /** 64-bit SimHash over word tokens (deterministic FNV/mix hashing). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split(" ").foreach { w =>
+      val h = Hashing.mix64(Hashing.fnv1a(w))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** doc_id + simhash (typed map; the bit loop is not expressible in Catalyst). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF(idCol, "simhash")
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+   * LSH prefilter: split the 64-bit signature into (maxHamming+1) chunks — by
+   * pigeonhole, any pair within maxHamming agrees on ≥1 chunk, so candidates
+   * are an equi-join on (chunk_index, chunk_value); verify = bit_count(xor).
+   */
+  def simhashPairs(sigs: DataFrame, idCol: String = "doc_id",
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val chunked = sigs.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "cv")))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding near-dup via cosine-LSH (random hyperplanes): bucket = sign bits
+   * of dot(v, r_j); candidates share a bucket; verify exact cosine ≥ threshold.
+   * Hyperplanes are deterministic (seeded) literal arrays — no driver RNG state.
+   */
+  def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", dim: Int = 64,
+                       planes: Int = 8, bands: Int = 4, minCosine: Double = 0.95): DataFrame = {
+    val withB = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(lshBuckets(col(vecCol), dim, planes, bands)).as(Seq("band", "bucket")))
+    val a = withB.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .withColumn("cos", AnnSearch.cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * Banded sign-bit LSH: `bands` independent bucket keys, each from `planes`
+   * seeded hyperplanes (a pair within cosine θ collides in a band with prob
+   * (1 − acos(θ)/π)^planes; missing ALL bands is exponentially unlikely).
+   * Pure built-in expressions — the hyperplanes are literal arrays.
+   */
+  def lshBuckets(vec: Column, dim: Int, planes: Int, bands: Int): Column =
+    array((0 until bands).map { b =>
+      val terms: Seq[Column] = (0 until planes).map { p =>
+        val r = Array.tabulate(dim)(d => Hashing.uniform(0xABCDEF + b * planes + p, d) * 2.0 - 1.0)
+        val rLit = array(r.map(lit): _*)
+        when(AnnSearch.dot(vec, rLit) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }
+      terms.reduce(_ + _)
+    }: _*)
+}

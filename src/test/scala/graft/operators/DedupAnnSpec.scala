@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup: groups hash collisions correctly; keeper is min id") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.exact(d).select("keeper", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: sliding 3-grams, short docs empty") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a b c", "b c d", "c d e"))
+    assert(got(2L) === Seq.empty)
+  }
+
+  test("minhash LSH pairs ⊇ all true near-dup pairs at jaccard >= 0.8 (recall on planted dups)") {
+    // plant near-duplicates: copy docs with 1 word changed
+    val base = docs.limit(60).as[(Long, String, String, String, Long)].collect()
+      .map(r => (r._1, r._2))
+    val planted = base.map { case (id, t) =>
+      val w = t.split(" ")
+      w(w.length / 2) = "MUTATED"
+      (id + 100000L, w.mkString(" "))
+    }
+    val all = (base ++ planted).toSeq
+    val df = all.toDF("doc_id", "text")
+    val got = Dedup.lshPairs(df, minJaccard = 0.5)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.bruteForceJaccard(all, 0.5)
+    // LSH candidates verified with exact jaccard must equal brute force whenever
+    // a pair shares at least one minhash band; for planted dups (jac ~0.95+)
+    // band collision probability is ~1 — require full recall on those
+    val plantedPairs = want.filter { case (a, b, j) => b - a == 100000L && j >= 0.8 }
+    assert(plantedPairs.nonEmpty)
+    assert(plantedPairs.subsetOf(got), "missed planted near-duplicates")
+    // and NO false positives below the threshold
+    assert(got.forall(_._3 >= 0.5))
+    // verified pairs must carry exact jaccard values
+    got.foreach { case (a, b, j) =>
+      val wj = want.find(w => w._1 == a && w._2 == b)
+      wj.foreach(w => assert(math.abs(w._3 - j) < 1e-12))
+    }
+  }
+
+  test("simhash: identical docs distance 0; near-dups small; random docs large") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again")
+    assert(a === b)
+    val c = Dedup.simhash64("the quick brown fox jumps over the lazy cat again and again")
+    assert(java.lang.Long.bitCount(a ^ c) <= 16, "near-dup should be close in hamming")
+    val d = Dedup.simhash64("completely unrelated words talking about database engines")
+    assert(java.lang.Long.bitCount(a ^ d) > 10, "unrelated should be far")
+  }
+
+  test("simhashPairs: pigeonhole banding finds ALL pairs within maxHamming") {
+    // synthetic signatures with controlled hamming distances
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdeeL), // hamming 1 from #1
+      (3L, 0x0123456789abcd00L), // hamming ~6 from #1
+      (4L, 0xfedcba9876543210L))
+    val df = sigs.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(df, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === want)
+    assert(want === Set((1L, 2L, 1)))
+  }
+
+  test("ANN brute-force top-k == driver oracle on real embeddings table") {
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 100 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val got = AnnSearch.bruteTopK(embs, probes, k = 5)
+      .select("probe_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val want = AnnSearch.bruteForce(table, probeRows, 5)
+    assert(got === want)
+  }
+
+  test("ANN LSH top-k: recall@5 >= 0.6 vs brute force (uniform-random worst case)") {
+    // the driver embeddings are uniform random (true top-5 cosine ≈ 0.32), the
+    // hardest case for LSH: per-plane collision p ≈ 0.60, so recall per band
+    // = p^planes; planes=4, bands=12 → expected recall ≈ 1-(1-0.133)^12 ≈ 0.82.
+    // On near-dup-bearing data (cos ≥ 0.95, the dedup use case) a single
+    // 8-plane band already collides with p ≈ 0.66 — see the near-dup test.
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 50 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val got = AnnSearch.lshTopK(embs, probes, k = 5, dim = 64, planes = 4, bands = 12)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("embedding near-dup: planted duplicate vectors found") {
+    val base = embs.limit(40).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.001f // nearly identical
+      (id + 10000L, w)
+    }
+    val df = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, minCosine = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantPairs = base.map { case (id, _) => (id, id + 10000L) }.toSet
+    assert(wantPairs.subsetOf(got), s"missing ${wantPairs.diff(got).size} planted near-dup pairs")
+  }
+
+  test("langId: detects crafted multilingual docs; token/quality/fingerprint stats") {
+    val fixture = Seq(
+      (1L, "the cat is in the house and it is warm with food for winter"),
+      (2L, "der hund ist nicht zu haus und ich bin mit der katze"),
+      (3L, "le chat est dans la maison et les oiseaux pour que dans"),
+      (4L, "el gato es una casa los perros de la noche por con para"),
+      (5L, "这 是 一个 测试 文档 我 有 和 不 人"),
+      (6L, "zzz qqq vvv www uuu")).toDF("doc_id", "text")
+    val got = fixture.select(col("doc_id"), graft.functions.TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "de"); assert(got(3L) === "fr")
+    assert(got(4L) === "es"); assert(got(5L) === "zh"); assert(got(6L) === "und")
+    val stats = graft.functions.TextFunctions.withTextStats(
+      fixture.withColumnRenamed("text", "text")).collect()
+    assert(stats.forall(r => r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1))
+    assert(stats.forall(r => r.getAs[String]("fp16").length == 16))
+  }
+}
