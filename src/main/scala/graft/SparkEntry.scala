@@ -255,6 +255,31 @@ object SparkEntry {
         .groupBy("partition_id", "feature_type").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("feature_type"))
     }),
+    "g3_tile_assign" -> ((s, dir) => {
+      import s.implicits._
+      // raster↔vector: images → WMTS tiles joined to CityJSON building tiles
+      val pts = ImageGen.points(s, 3000, 8).toDF("image_id", "x", "y")
+        .withColumn("x", col("x") - 457790.0) // shift into the CityJSON frame
+        .withColumn("y", col("y") - 5439030.0)
+      graft.operators.TileAssign.assign(pts,
+        s.createDataset(cjFootprints.filter(_.feature_type == "Building")), Seq(19, 20, 21))
+        .select("image_id", "feature_id", "zoom", "tile_id")
+    }),
+    "g4_icelite_lineage" -> ((s, dir) => {
+      import s.implicits._
+      // resumable write: commit half, "restart" with full input, audit lineage
+      val tmp = java.nio.file.Files.createTempDirectory("icelite_q").toString
+      val table = s"$tmp/events"
+      val df = t(s, dir, "events")
+      graft.sources.IceLite.writeResumable(
+        df.where(col("event_type").isin("click", "error")), table, "event_type")
+      val (written, skipped) = graft.sources.IceLite.writeResumable(df, table, "event_type")
+      val audit = graft.sources.IceLite.verifyLineage(s, table, "event_type")
+      val snap = graft.sources.IceLite.currentSnapshot(table)
+      snap.partitions.map(p => (p.partition, p.rows, p.checksum,
+          audit.toMap.apply(p.partition), skipped.contains(p.partition)))
+        .toDF("partition", "rows", "checksum", "lineage_ok", "resumed_skip")
+    }),
     "g2_pip_images" -> ((s, dir) => {
       import s.implicits._
       val pts = ImageGen.points(s, 5000, 8).toDF("image_id", "x", "y")

@@ -20,6 +20,8 @@ object GeoFunctions {
     org.apache.spark.sql.graft.GeoFunctionsImpl.z_cell_x(cell)
   def z_cell_y(cell: Column): Column =
     org.apache.spark.sql.graft.GeoFunctionsImpl.z_cell_y(cell)
+  def tile_cover(env: Column, z: Column): Column =
+    org.apache.spark.sql.graft.GeoFunctionsImpl.tile_cover(env, z)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.GeoFunctionsImpl.register(spark)
 }

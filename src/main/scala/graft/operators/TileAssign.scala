@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.model.Footprint
+
+/**
+ * Raster-tile ↔ vector-feature assignment for WMTS pyramid levels
+ * (BASELINE.json north_star). The reference has no raster side; its analog is
+ * the R-tree spatial partitioning of features (`CityKGDB.java:42-53`) — here
+ * the tile id is a data column, so the "pyramid" is a family of cluster keys.
+ *
+ *  - feature → all tiles its envelope touches, per zoom (tile_cover expression,
+ *    touching-inclusive like the reference bbox test, Neo4jDB.java:378-380);
+ *  - point/image → its containing tile (tile_of, codegen'd);
+ *  - tile contents join = equi-join on tile_id — broadcastable per zoom;
+ *  - top-k images per tile = row_number window (deterministic tie-break).
+ */
+object TileAssign {
+
+  /** (feature_id, zoom, tile_id) for every pyramid level in `zooms`. */
+  def featureTiles(fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame =
+    fps.toDF()
+      .withColumn("zoom", explode(lit(zooms.toArray)))
+      .withColumn("tile_id", explode(tile_cover(col("env"), col("zoom"))))
+      .select("feature_id", "partition_id", "zoom", "tile_id")
+
+  /** points (.. x, y ..) → containing tile at each zoom. */
+  def pointTiles(points: DataFrame, zooms: Seq[Int]): DataFrame =
+    points
+      .withColumn("zoom", explode(lit(zooms.toArray)))
+      .withColumn("tile_id", tile_of(col("x"), col("y"), col("zoom")))
+
+  /** images ⋈ features per tile (the raster↔vector assignment). */
+  def assign(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame = {
+    val ft = featureTiles(fps, zooms)
+    pointTiles(points, zooms)
+      .join(broadcast(ft), Seq("zoom", "tile_id"))
+  }
+
+  /** Deterministic top-k rows per (zoom, tile). */
+  def topKPerTile(pointTiles: DataFrame, k: Int, orderCol: String): DataFrame = {
+    val w = Window.partitionBy("zoom", "tile_id").orderBy(col(orderCol))
+    pointTiles.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Driver-side oracle for featureTiles. */
+  def bruteForceFeatureTiles(fps: Seq[Footprint], zooms: Seq[Int]): Set[(String, Int, Long)] =
+    (for {
+      f <- fps
+      z <- zooms
+      t <- graft.core.Tiles.coverRect(f.env.minx, f.env.miny, f.env.maxx, f.env.maxy, z)
+    } yield (f.feature_id, z, graft.core.Tiles.pack(t))).toSet
+}

@@ -175,6 +175,32 @@ object PipContainsExpr {
     ring.numElements() >= 3 && (onBoundary(ring, x, y) || rayCast(ring, x, y))
 }
 
+/**
+ * WMTS tiles (packed ids) covering a 3D envelope struct
+ * (minx,miny,minz,maxx,maxy,maxz — ordinals 0/1/3/4 used) at zoom z.
+ * Touching-inclusive, mirroring the reference bbox semantics.
+ */
+case class TileCoverExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    new StructType().add("minx", DoubleType).add("miny", DoubleType).add("minz", DoubleType)
+      .add("maxx", DoubleType).add("maxy", DoubleType).add("maxz", DoubleType),
+    IntegerType)
+
+  override def nullSafeEval(envAny: Any, zAny: Any): Any = {
+    val env = envAny.asInstanceOf[InternalRow]
+    val z = zAny.asInstanceOf[Int]
+    val tiles = Tiles.coverRect(env.getDouble(0), env.getDouble(1),
+      env.getDouble(3), env.getDouble(4), z)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(tiles.map(Tiles.pack))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "tile_cover"
+}
+
 /** Column index (x) of a quad cell — codegen'd static call. */
 case class ZCellXExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -238,6 +264,8 @@ object GeoFunctionsImpl {
     column(HexCoverExpr(expression(ring), expression(res)))
   def z_cell_x(cell: Column): Column = column(ZCellXExpr(expression(cell)))
   def z_cell_y(cell: Column): Column = column(ZCellYExpr(expression(cell)))
+  def tile_cover(env: Column, z: Column): Column =
+    column(TileCoverExpr(expression(env), expression(z)))
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.{CityJsonReader, IceLite, ImageGen}
+
+class TileIceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val cjFps = CityJsonReader.toFootprints(
+    CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json"), 1)
+    .filter(_.feature_type == "Building")
+
+  test("featureTiles == brute-force tile cover at zooms 18-21") {
+    val zooms = Seq(18, 19, 20, 21)
+    val got = TileAssign.featureTiles(spark.createDataset(cjFps), zooms)
+      .select("feature_id", "zoom", "tile_id").as[(String, Int, Long)].collect().toSet
+    val want = TileAssign.bruteForceFeatureTiles(cjFps, zooms)
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("point-tile assignment joins points to the features sharing their tile") {
+    val pts = (0 until 500).map { i =>
+      (s"p$i", graft.core.Hashing.uniform(3, i * 2) * 100.0,
+        graft.core.Hashing.uniform(3, i * 2 + 1) * 100.0)
+    }
+    val df = pts.toDF("image_id", "x", "y")
+    val zooms = Seq(20)
+    val got = TileAssign.assign(df, spark.createDataset(cjFps), zooms)
+      .select("image_id", "feature_id").as[(String, String)].collect().toSet
+    // oracle: point tile ∈ feature cover tiles
+    val cover = TileAssign.bruteForceFeatureTiles(cjFps, zooms)
+      .groupBy(_._3).map { case (t, xs) => t -> xs.map(_._1) }
+    val want = (for {
+      (id, x, y) <- pts
+      t = graft.core.Tiles.pack(graft.core.Tiles.tileOf(x, y, 20))
+      fid <- cover.getOrElse(t, Set.empty)
+    } yield (id, fid)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // top-k per tile is deterministic and bounded
+    val topk = TileAssign.topKPerTile(
+      TileAssign.pointTiles(df, zooms), k = 3, orderCol = "image_id")
+    val counts = topk.groupBy("zoom", "tile_id").count().select(max("count")).head().getLong(0)
+    assert(counts <= 3)
+  }
+
+  test("IceLite: resumable write skips committed partitions; lineage verifies; byte-stable") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite").toString
+    val table = s"$dir/events_by_type"
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    // stage 1: "crash" after only two partitions committed
+    val firstTwo = df.where(col("event_type").isin("click", "error"))
+    val (w1, s1) = IceLite.writeResumable(firstTwo, table, "event_type")
+    assert(w1.toSet === Set("click", "error") && s1.isEmpty)
+    val snap1 = IceLite.currentSnapshot(table)
+    assert(snap1.partitions.size === 2)
+
+    // restart with the FULL input: committed partitions must be skipped
+    val (w2, s2) = IceLite.writeResumable(df, table, "event_type")
+    assert(s2.toSet === Set("click", "error"), "committed partitions not skipped")
+    assert(w2.nonEmpty)
+
+    // third run: everything skipped (idempotent no-op)
+    val (w3, s3) = IceLite.writeResumable(df, table, "event_type")
+    assert(w3.isEmpty && s3.size === s2.size + w2.size)
+
+    // lineage audit: every committed partition's recomputed checksum matches
+    val audit = IceLite.verifyLineage(spark, table, "event_type")
+    assert(audit.nonEmpty && audit.forall(_._2), s"lineage mismatch: $audit")
+
+    // round trip: table content equals input (row multiset)
+    val back = IceLite.read(spark, table)
+    assert(back.count() === df.count())
+    val a = back.agg(sum(xxhash64(back.columns.sorted.map(col): _*).cast("decimal(38,0)"))).head().get(0)
+    val b = df.agg(sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)"))).head().get(0)
+    assert(a.toString === b.toString, "content checksum differs after resume")
+  }
+
+  test("IceLite: lineage checksum is order/parallelism independent") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val (r1, c1) = IceLite.lineageOf(df.repartition(16))
+    val (r2, c2) = IceLite.lineageOf(df.coalesce(1))
+    assert(r1 === r2 && c1 === c2)
+  }
+
+  test("IceLite: images table written resumable by partition bucket (binary payload)") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_img").toString
+    val table = s"$dir/images"
+    val imgs = ImageGen.table(spark, 300, 4).toDF()
+      .withColumn("bucket", pmod(xxhash64(col("image_id")), lit(4)))
+    val (w1, _) = IceLite.writeResumable(imgs.where(col("bucket") < 2), table, "bucket")
+    val (w2, s2) = IceLite.writeResumable(imgs, table, "bucket")
+    assert(w1.size === 2 && w2.size === 2 && s2.size === 2)
+    val back = IceLite.read(spark, table)
+    assert(back.count() === 300)
+    // payload invariant after resume: bytes identical to regeneration
+    val m = back.select("image_id", "bytes").as[(String, Array[Byte])].collect().toMap
+    for (i <- Seq(0L, 7L, 123L, 299L)) {
+      assert(java.util.Arrays.equals(m(f"img_$i%010d"), ImageGen.row(i).bytes))
+    }
+  }
+}
