@@ -1,0 +1,173 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+import graft.sources.ImageGen
+
+/**
+ * Multimodal (binary-column) operators. Images are REAL (javax.imageio ships
+ * with the JDK: PNG/JPEG/BMP decode+encode); audio/video feature extraction is
+ * STUBBED with a clearly-marked deterministic fake — the Spark-side plumbing
+ * (schema, partitioning, batch shape) is identical either way.
+ *
+ * All operators run inside `mapPartitions`-style typed maps: one decode per
+ * row, no driver collect, no shuffle — the 100 TB shape is map-only over the
+ * bytes column with column pruning (select only `bytes` + keys upstream).
+ */
+object ImageFunctions {
+
+  final case class ImageMeta(image_id: String, ok: Boolean, w: Int, h: Int,
+                             fmt_sniffed: String, phash: Long)
+  final case class Thumb(image_id: String, bytes: Array[Byte], w: Int, h: Int)
+  final case class ImageFeature(image_id: String, mean_r: Double, mean_g: Double,
+                                mean_b: Double, dhash: Long)
+  final case class PayloadCheck(image_id: String, psnr: Double, caption_ok: Boolean,
+                                phash_ok: Boolean, pass: Boolean)
+
+  /** Magic-byte format sniffing (no decode). */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') "png"
+    else if (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+
+  /** Decode + validate metadata for every image (distributed, map-only). */
+  def decodeMeta(imgs: DataFrame): Dataset[ImageMeta] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select("image_id", "bytes").as[(String, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        try {
+          val bi = ImageGen.decode(bytes)
+          ImageMeta(id, ok = bi != null, bi.getWidth, bi.getHeight,
+            sniffFormat(bytes), ImageGen.phashOf(bi))
+        } catch {
+          case _: Exception => ImageMeta(id, ok = false, -1, -1, sniffFormat(bytes), 0L)
+        }
+      }
+    }
+  }
+
+  /** Nearest-neighbour resize (deterministic, no AA) + PNG re-encode. */
+  def resizeImage(bi: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      val sy = y * bi.getHeight / th
+      while (x < tw) {
+        out.setRGB(x, y, bi.getRGB(x * bi.getWidth / tw, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def thumbnails(imgs: DataFrame, tw: Int = 8, th: Int = 8): Dataset[Thumb] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select("image_id", "bytes").as[(String, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val t = resizeImage(ImageGen.decode(bytes), tw, th)
+        Thumb(id, ImageGen.encode(t, "png"), tw, th)
+      }
+    }
+  }
+
+  /** Mean-RGB + 8×8 luminance difference hash (real feature extraction). */
+  def extractFeatures(imgs: DataFrame): Dataset[ImageFeature] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select("image_id", "bytes").as[(String, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) =>
+        val bi = ImageGen.decode(bytes)
+        val w = bi.getWidth; val h = bi.getHeight
+        val px = new Array[Int](w * h)
+        bi.getRGB(0, 0, w, h, px, 0, w)
+        var r = 0L; var g = 0L; var b = 0L
+        var i = 0
+        while (i < px.length) {
+          r += (px(i) >> 16) & 0xff; g += (px(i) >> 8) & 0xff; b += px(i) & 0xff
+          i += 1
+        }
+        // dHash: 9x8 luminance grid, bit = lum(x) > lum(x+1)
+        val small = resizeImage(bi, 9, 8)
+        var dh = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val l1 = lum(small.getRGB(x, y)); val l2 = lum(small.getRGB(x + 1, y))
+            if (l1 > l2) dh |= (1L << bit)
+            bit += 1; x += 1
+          }
+          y += 1
+        }
+        ImageFeature(id, r.toDouble / px.length, g.toDouble / px.length,
+          b.toDouble / px.length, dh)
+      }
+    }
+  }
+
+  private def lum(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  /**
+   * Per-row payload verification vs the deterministic source (input_hint
+   * invariant: decoded pixels allclose — PSNR ≥ 40 dB lossy / exact lossless —
+   * and caption byte-equality), executed distributed.
+   */
+  def verifyPayload(joined: DataFrame): Dataset[PayloadCheck] = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    joined.select("image_id", "bytes", "caption", "phash")
+      .as[(String, Array[Byte], String, Long)].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes, caption, phash) =>
+          val i = id.stripPrefix("img_").toLong
+          val src = ImageGen.row(i)
+          val psnr = ImageGen.psnrBytes(src.bytes, bytes)
+          val cap = caption == src.caption
+          val ph = phash == src.phash
+          PayloadCheck(id, psnr, cap, ph, psnr >= 40.0 && cap && ph)
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // STUB: audio/video feature extraction. No decode libraries exist in this
+  // container; the fake is a pure deterministic function of the bytes so the
+  // distributed plumbing (schema, batching, partitioning) is real and tested.
+  // Swap `fakeWaveformFeatures` for a real decoder at deployment.
+  // ---------------------------------------------------------------------
+  final case class AvFeature(media_id: String, duration_s: Double, loudness: Double,
+                             fingerprint: Long, stubbed: Boolean)
+
+  def extractAvFeatures(media: DataFrame, idCol: String = "image_id",
+                        bytesCol: String = "bytes"): Dataset[AvFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) => fakeWaveformFeatures(id, bytes) }
+    }
+  }
+
+  /** STUB — deterministic fake standing in for an audio/video decoder. */
+  private def fakeWaveformFeatures(id: String, bytes: Array[Byte]): AvFeature = {
+    val fp = Hashing.fnv1a(bytes)
+    AvFeature(id,
+      duration_s = (math.abs(fp) % 30000).toDouble / 1000.0,
+      loudness = -60.0 + (Hashing.mix64(fp) >>> 11).toDouble / (1L << 53).toDouble * 60.0,
+      fingerprint = fp,
+      stubbed = true)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  /**
+   * File streams need a directory. Write 3 chunks SEQUENTIALLY (by event_id
+   * range, which is time order in this table) so the file source replays them
+   * in arrival order like a real stream — simultaneous writes would randomize
+   * mtime order and deliver chunks out of event-time order.
+   */
+  lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val df = spark.read.parquet(s"$sf/events.parquet")
+    val n = df.agg(max("event_id")).head().getLong(0) + 1
+    for (i <- 0 until 3) {
+      df.where(col("event_id") >= i * n / 3 && col("event_id") < (i + 1) * n / 3)
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100) // distinct mtimes -> deterministic source order
+    }
+    d
+  }
+
+  test("streaming windowed census == batch q24 result (file replay, memory sink)") {
+    val got = EventStream.replayWindowed(spark, streamDir, "win_test")
+      .select("hour_start", "event_type", "cnt", "max_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = graft.SparkEntry.queries("q24_tumbling_window")(spark, sf)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("stateful streaming sessionization == batch q25 sessions") {
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(stream).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user = final state
+    val got = spark.table("sess_test")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q25_sessionize")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+}
