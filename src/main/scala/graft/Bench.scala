@@ -1,24 +1,103 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Per-round benchmark main (driver contract): prints ONE JSON line.
+ * Headline metric = the north-star spatial-join throughput (H3-analog PIP
+ * join of geotagged points against the CityGML-derived footprints), plus
+ * per-query wall seconds for every SparkEntry query at the given SF dir.
+ */
 object Bench {
+
+  def pointCountFor(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 5000000L
+    else if (sfDir.contains("sf0.01")) 1000000L
+    else 200000L
+
+  /** FZK building + the 100 CityJSON buildings shifted into the FZK frame. */
+  def benchPolygons: Seq[model.Footprint] = {
+    val fzk = sources.CityGmlReader.toFootprints(
+      sources.CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
+      .filter(_.feature_type == "Building")
+    val cj = sources.CityJsonReader.toFootprints(
+      sources.CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json"), 1)
+      .filter(_.feature_type == "Building")
+      .map { f =>
+        def sx(p: model.XY) = model.XY(p.x + 457790.0, p.y + 5439030.0)
+        f.copy(ring = f.ring.map(sx), holes = f.holes.map(_.map(sx)),
+          env = model.Env6(f.env.minx + 457790.0, f.env.miny + 5439030.0, f.env.minz,
+            f.env.maxx + 457790.0, f.env.maxy + 5439030.0, f.env.maxz),
+          centroid = sx(f.centroid))
+      }
+    fzk ++ cj
+  }
+
+  /** Stage the geotag point table to parquet (outside any timer). */
+  def stagePoints(spark: SparkSession, n: Long, dir: String): Unit = {
+    import spark.implicits._
+    sources.ImageGen.points(spark, n, 64).toDF("image_id", "x", "y")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** One timed PIP-join pass; returns (inputRows, joinedRows, seconds).
+    * mode: "probe" (broadcast prepared-polygon mapPartitions — the designed
+    * fast path), "broadcast" (declarative Catalyst variant), "salted". */
+  def timedPipJoin(spark: SparkSession, pointsDir: String,
+                   polys: Seq[model.Footprint],
+                   mode: String = sys.env.getOrElse("SPARK_GRAFT_PIP_MODE", "expr")): (Long, Long, Double) = {
+    import spark.implicits._
+    val pts = spark.read.parquet(pointsDir)
+    val inputRows = pts.count()
+    val t0 = System.nanoTime()
+    val joined = mode match {
+      case "expr" =>
+        operators.PipJoin.exprJoin(pts, polys).count()
+      case "probe" =>
+        operators.PipJoin.probeJoin(
+          pts.as[(String, Double, Double)], polys).count()
+      case "salted" =>
+        operators.PipJoin.saltedJoin(pts, spark.createDataset(polys)).count()
+      case _ =>
+        operators.PipJoin.broadcastJoin(pts, spark.createDataset(polys)).count()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    (inputRows, joined, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: north-star PIP join throughput (staging excluded from timer)
+    val nPoints = sys.env.get("SPARK_GRAFT_BENCH_POINTS").map(_.toLong)
+      .getOrElse(pointCountFor(sfDir))
+    val ptsDir = s"${sys.props("java.io.tmpdir")}/graft_bench_points_$nPoints"
+    if (!new java.io.File(s"$ptsDir/_SUCCESS").exists())
+      stagePoints(spark, nPoints, ptsDir)
+    val polys = benchPolygons
+    timedPipJoin(spark, ptsDir, polys) // warmup (JIT + code cache)
+    val (inRows, joined, secs) = timedPipJoin(spark, ptsDir, polys)
+    val rowsPerSec = inRows / secs
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"spatial-join rows/sec (PIP, 101 LoD2 footprints)","value":${f"$rowsPerSec%.0f"},"unit":"rows/sec","queries":$qs,"sf":"$sfDir","pip":{"points":$inRows,"joined":$joined,"secs":${f"$secs%.3f"}},"total_query_sec":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Two-parallelism scaling evidence (BASELINE.json north_rule, sandbox
+ * protocol per BASELINE.md): the identical PIP join on the identical staged
+ * input at local[8] and local[32] (1:4 core ratio standing in for N vs 4N
+ * executors). Throughput per level = points / MIN wall time over interleaved
+ * repetitions — the minimum-time estimator because this sandbox shares CPUs
+ * with other tenants (bursty external load was measured at up to 10 runnable
+ * threads); the interleaving ensures neither level systematically benefits.
+ * Prints one JSON line and writes BENCH.md.
+ */
+object ScaleBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // size scan splits so BOTH parallelism levels get enough tasks — the
+      // 128 MB default would cap this staged input at ~6 tasks (same setting
+      // at both levels)
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.get("SPARK_GRAFT_BENCH_POINTS").map(_.toLong).getOrElse(100000000L)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(6)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_PIP_MODE", "expr")
+    val nLow = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(4)
+    val nHigh = nLow * 4
+    val ptsDir = s"${sys.props("java.io.tmpdir")}/graft_bench_points_$n"
+    val polys = Bench.benchPolygons
+
+    val s0 = session(32)
+    if (!new java.io.File(s"$ptsDir/_SUCCESS").exists()) Bench.stagePoints(s0, n, ptsDir)
+    s0.stop()
+
+    var in = 0L; var joined = 0L
+    val times = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
+    for (rep <- 1 to reps; cpus <- Seq(nLow, nHigh)) { // interleaved
+      val s = session(cpus)
+      Bench.timedPipJoin(s, ptsDir, polys, mode) // per-session JIT warmup
+      val (i, j, secs) = Bench.timedPipJoin(s, ptsDir, polys, mode)
+      in = i; joined = j
+      times(cpus) = secs :: times(cpus)
+      System.err.println(f"[scale] rep=$rep cpus=$cpus secs=$secs%.3f")
+      s.stop()
+    }
+    val t8 = times(nLow).min
+    val t32 = times(nHigh).min
+    val r8 = in / t8
+    val r32 = in / t32
+    val eff = r32 / (4.0 * r8)
+    val json =
+      s"""{"metric":"pip-join scaling efficiency local[$nLow]->local[$nHigh]","value":${f"$eff%.3f"},"unit":"ratio","points":$in,"joined":$joined,"n_low":$nLow,"n_high":$nHigh,"rows_per_sec_low":${f"$r8%.0f"},"rows_per_sec_high":${f"$r32%.0f"},"sec_low":${f"$t8%.3f"},"sec_high":${f"$t32%.3f"},"reps":$reps,"mode":"$mode","all_sec_8":[${times(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_32":[${times(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]}"""
+    println(json)
+
+    val md =
+      s"""# BENCH — measured throughput & scaling (sandbox protocol per BASELINE.md)
+         |
+         |North-star operator: filter-refine PIP spatial join (hex cell-key
+         |prefilter + exact boundary-inclusive refine), `$mode` physical path
+         |(fully-codegen pip_matches expression, polygon index as plan
+         |reference object), of geotagged points against 101 CityGML-LoD2
+         |building footprints (FZK-Haus + 100-building CityJSON grid), skewed
+         |input (60% of points inside one footprint).
+         |
+         || quantity | value |
+         ||---|---|
+         || points (staged parquet) | $in |
+         || joined rows | $joined |
+         || best join wall time @ local[$nLow] | ${f"$t8%.3f"} s |
+         || best join wall time @ local[$nHigh] | ${f"$t32%.3f"} s |
+         || throughput @ local[$nLow] | ${f"$r8%.0f"} rows/s |
+         || throughput @ local[$nHigh] | ${f"$r32%.0f"} rows/s |
+         || **scaling efficiency** r32/(4·r8) | **${f"$eff%.3f"}** (target ≥ 0.8) |
+         |
+         |Protocol: identical job and staged input at both parallelism levels
+         |($nLow vs $nHigh cores = the 1:4 executor ratio; BASELINE.md "Measurement
+         |protocol"). $reps interleaved repetitions per level, JIT warmup per
+         |session, throughput from the per-level MINIMUM wall time (this host
+         |shares CPUs with bursty external load — minimum-time is the standard
+         |interference-robust estimator; interleaving removes ordering bias).
+         |All raw times are in the JSON below.
+         |
+         |Raw: `$json`
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.md"), md.getBytes("UTF-8"))
+  }
+}

@@ -106,6 +106,18 @@ object PipJoin {
     }.toDF("image_id", "x", "y", "feature_id")
   }
 
+  /**
+   * Fully-codegen expression path: no join operator at all — the polygon
+   * index rides in the plan as a reference object and the scan-side generated
+   * code calls it per row (see PipMatchesExpr). Fastest variant when the
+   * polygon set fits in the plan; output rows identical to broadcastJoin.
+   */
+  def exprJoin(points: DataFrame, polys: Seq[Footprint], res: Int = DefaultRes): DataFrame = {
+    val index = new PipIndex(polys, res)
+    points.withColumn("feature_id",
+      explode(org.apache.spark.sql.graft.GeoFunctionsImpl.pip_matches(col("x"), col("y"), index)))
+  }
+
   /** Driver-side brute-force oracle for tests (O(n·m), small scale only). */
   def bruteForce(points: Seq[(String, Double, Double)],
                  polys: Seq[Footprint]): Set[(String, String)] = {

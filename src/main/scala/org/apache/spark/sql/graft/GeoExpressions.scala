@@ -201,6 +201,29 @@ case class TileCoverExpr(left: Expression, right: Expression)
   override def prettyName: String = "tile_cover"
 }
 
+/**
+ * Fully-codegen PIP match: the polygon index ships as a plan reference object
+ * (`ctx.addReferenceObj`), the generated code calls `index.matches(x, y)`
+ * directly — no join operator, no shuffle, zero allocation on the miss path.
+ * This is the engine's fast path when the polygon side fits in the plan
+ * (≲ millions of vertices); the declarative cell-join path covers the rest.
+ */
+case class PipMatchesExpr(left: Expression, right: Expression,
+                          index: graft.operators.PipIndex)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def nullSafeEval(x: Any, y: Any): Any =
+    index.matches(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pipIndex", index, classOf[graft.operators.PipIndex].getName)
+    defineCodeGen(ctx, ev, (x, y) => s"$ref.matches($x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pip_matches"
+}
+
 /** Column index (x) of a quad cell — codegen'd static call. */
 case class ZCellXExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -266,6 +289,8 @@ object GeoFunctionsImpl {
   def z_cell_y(cell: Column): Column = column(ZCellYExpr(expression(cell)))
   def tile_cover(env: Column, z: Column): Column =
     column(TileCoverExpr(expression(env), expression(z)))
+  def pip_matches(x: Column, y: Column, index: graft.operators.PipIndex): Column =
+    column(PipMatchesExpr(expression(x), expression(y), index))
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

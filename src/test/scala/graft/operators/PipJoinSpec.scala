@@ -68,6 +68,17 @@ class PipJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("codegen expr path (pip_matches) ≡ brute force on both fixtures") {
+    val all = fzkFps ++ cjFps
+    val pts = (fzkPoints ++ cjPoints).toDF("image_id", "x", "y")
+    val got = runAndCollect(PipJoin.exprJoin(pts, all))
+    val want = PipJoin.bruteForce(fzkPoints ++ cjPoints, all)
+    assert(got === want)
+    // and the generated code actually inlines the index (no join in the plan)
+    val plan = PipJoin.exprJoin(pts, all).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expr path must be join-free:\n$plan")
+  }
+
   test("physical plan: broadcast path uses BroadcastHashJoin and keeps codegen on the big side") {
     val dir = "target/tmp/pip_pts"
     fzkPoints.toDF("image_id", "x", "y").write.mode("overwrite").parquet(dir)

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+
+class ExportSpec extends AnyFunSuite {
+
+  lazy val fzk = CityGmlReader.toFootprints(
+    CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
+  lazy val cj = CityJsonReader.toFootprints(
+    CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json"), 1)
+
+  test("CityGML round trip: export -> re-ingest preserves ring/env2d/attrs") {
+    val out = java.nio.file.Files.createTempDirectory("gml").resolve("fzk.gml").toString
+    Exporters.exportCityGml(fzk, out)
+    val back = CityGmlReader.toFootprints(CityGmlReader.parseFile(out), 0)
+      .filter(_.feature_type == "Building")
+    val orig = fzk.filter(_.feature_type == "Building")
+    assert(back.size === orig.size)
+    val b = back.head; val o = orig.head
+    assert(b.feature_id === o.feature_id)
+    assert(closedSet(b.ring) === closedSet(o.ring))
+    assert(b.env.minx === o.env.minx && b.env.maxy === o.env.maxy)
+    // generic attributes survive (stringified)
+    assert(b.attrs("GrossPlannedArea") === o.attrs("GrossPlannedArea"))
+  }
+
+  test("CityGML export honors touching-inclusive bbox filter (Neo4jDB.java:378-380)") {
+    val out = java.nio.file.Files.createTempDirectory("gml").resolve("f.gml").toString
+    // query box that only TOUCHES the FZK envelope at x=457842
+    val touching = Env6(457830, 5439083, 0, 457842, 5439093, 0)
+    Exporters.exportCityGml(fzk, out, Some(touching))
+    val back = CityGmlReader.toFootprints(CityGmlReader.parseFile(out), 0)
+      .filter(_.feature_type == "Building")
+    assert(back.size === 1, "touching feature must be kept")
+    // disjoint box excludes
+    val out2 = java.nio.file.Files.createTempDirectory("gml").resolve("g.gml").toString
+    Exporters.exportCityGml(fzk, out2, Some(Env6(0, 0, 0, 1, 1, 0)))
+    val back2 = CityGmlReader.toFootprints(CityGmlReader.parseFile(out2), 0)
+    assert(back2.isEmpty)
+  }
+
+  test("CityJSON round trip: quantization-exact for 3-decimal source coords") {
+    val out = java.nio.file.Files.createTempDirectory("cj").resolve("b.json").toString
+    Exporters.exportCityJson(cj, out, srs = "EPSG:3068")
+    val back = CityJsonReader.toFootprints(CityJsonReader.parseFile(out), 1)
+      .filter(_.feature_type == "Building")
+    val orig = cj.filter(_.feature_type == "Building")
+    assert(back.size === orig.size)
+    val bm = back.map(f => f.feature_id -> f).toMap
+    orig.foreach { o =>
+      val b = bm(o.feature_id)
+      // source verts are already 3-decimal quantized -> exact ring equality
+      assert(closedSet(b.ring) === closedSet(o.ring), s"${o.feature_id} ring")
+      assert(b.attrs("measuredHeight") === o.attrs("measuredHeight"))
+    }
+  }
+
+  test("CityJSON quantization semantics: round(x*1000)/1000 (CityJSONDB.java:118-121)") {
+    val f = Footprint("q1", "Building", 0,
+      Seq(XY(1.23456, 2.00049), XY(3.99999, 2.00049), XY(3.99999, 9.5), XY(1.23456, 9.5)),
+      Seq.empty, Env6(1.23456, 2.00049, 0, 3.99999, 9.5, 0), XY(2, 5), Map.empty)
+    val out = java.nio.file.Files.createTempDirectory("cj").resolve("q.json").toString
+    Exporters.exportCityJson(Seq(f), out)
+    val back = CityJsonReader.toFootprints(CityJsonReader.parseFile(out), 0).head
+    assert(back.ring.map(p => (p.x, p.y)).toSet ===
+      Set((1.235, 2.0), (4.0, 2.0), (4.0, 9.5), (1.235, 9.5)))
+  }
+
+  private def closedSet(r: Seq[XY]): Set[(Double, Double)] =
+    r.map(p => (p.x, p.y)).toSet
+}
