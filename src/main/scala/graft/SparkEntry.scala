@@ -192,6 +192,37 @@ object SparkEntry {
         substring(md5(lower(col("text")).cast("binary")), 1, 16).as("fp16"))
     }),
 
+    "q28_bbox_match" -> ((s, dir) => {
+      // J5 volume-overlap bbox match with degenerate-dim collapse
+      // (CityGMLV2DB.matchBbox, :339-381): flat boxes -> z axis dropped,
+      // overlap-area ratio must exceed 0.5 on BOTH sides
+      val boxes = t(s, dir, "part").where(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          (((col("p_partkey") * 3L) % 20L).cast("double") * lit(2.0)).as("aminx"),
+          (((col("p_partkey") * 7L) % 20L).cast("double") * lit(2.0)).as("aminy"))
+        .withColumn("amaxx", col("aminx") + 3.0).withColumn("amaxy", col("aminy") + 3.0)
+      val queries = t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          ((col("n_nationkey") % 5L).cast("double") * lit(8.0)).as("bminx"),
+          (((col("n_nationkey") * 3L) % 10L).cast("double") * lit(4.0)).as("bminy"))
+        .withColumn("bmaxx", col("bminx") + 6.0).withColumn("bmaxy", col("bminy") + 6.0)
+      val ox = greatest(lit(0.0), least(col("amaxx"), col("bmaxx")) - greatest(col("aminx"), col("bminx")))
+      val oy = greatest(lit(0.0), least(col("amaxy"), col("bmaxy")) - greatest(col("aminy"), col("bminy")))
+      val volA = (col("amaxx") - col("aminx")) * (col("amaxy") - col("aminy"))
+      val volB = (col("bmaxx") - col("bminx")) * (col("bmaxy") - col("bminy"))
+      boxes.join(broadcast(queries),
+        (ox * oy / volA > 0.5) && (ox * oy / volB > 0.05))
+        .select("p_partkey", "n_nationkey")
+    }),
+    "q29_shared_refs" -> ((s, dir) => {
+      // J6 dedup-on-write: a target referenced >1x is re-serialized as an
+      // XLink instead of inline (handleOriginXLink, CityGMLV2DB.java:262-281)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("target_id"))
+        .agg(count(lit(1)).as("n_refs"))
+        .withColumn("representation",
+          when(col("n_refs") > 1, "xlink").otherwise("inline"))
+    }),
     "q18_minhash_sig" -> ((s, dir) => {
       import graft.operators.Dedup
       val d = t(s, dir, "documents")
@@ -405,6 +436,28 @@ object SparkEntry {
     "q16_fingerprint" ->
       """SELECT doc_id, lang, substring(md5(lower(text)), 1, 16) AS fp16
          FROM documents""",
+    "q28_bbox_match" ->
+      """WITH a AS (
+           SELECT p_partkey,
+                  CAST((p_partkey * 3) %% 20 AS DOUBLE) * 2.0::DOUBLE AS aminx,
+                  CAST((p_partkey * 7) %% 20 AS DOUBLE) * 2.0::DOUBLE AS aminy
+           FROM part WHERE p_partkey <= 300),
+         b AS (
+           SELECT n_nationkey,
+                  CAST(n_nationkey %% 5 AS DOUBLE) * 8.0::DOUBLE AS bminx,
+                  CAST((n_nationkey * 3) %% 10 AS DOUBLE) * 4.0::DOUBLE AS bminy
+           FROM nation)
+         SELECT p_partkey, n_nationkey FROM a, b
+         WHERE (greatest(0.0::DOUBLE, least(aminx + 3.0, bminx + 6.0) - greatest(aminx, bminx)) *
+                greatest(0.0::DOUBLE, least(aminy + 3.0, bminy + 6.0) - greatest(aminy, bminy))) /
+               ((aminx + 3.0 - aminx) * (aminy + 3.0 - aminy)) > 0.5
+           AND (greatest(0.0::DOUBLE, least(aminx + 3.0, bminx + 6.0) - greatest(aminx, bminx)) *
+                greatest(0.0::DOUBLE, least(aminy + 3.0, bminy + 6.0) - greatest(aminy, bminy))) /
+               ((bminx + 6.0 - bminx) * (bminy + 6.0 - bminy)) > 0.05""",
+    "q29_shared_refs" ->
+      """SELECT l_orderkey AS target_id, count(*) AS n_refs,
+                CASE WHEN count(*) > 1 THEN 'xlink' ELSE 'inline' END AS representation
+         FROM lineitem GROUP BY 1""",
     "q18_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          sh AS (

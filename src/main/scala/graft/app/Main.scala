@@ -1,0 +1,147 @@
+package graft.app
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{Census, XLinkResolve}
+import graft.sources._
+
+/**
+ * Config-driven batch application — the Spark restatement of the reference's
+ * `go()` use-case dispatch (`CityKGDB.java:56-84`, driven by
+ * `config/run.conf`): map / export / map+export / query.
+ *
+ * Config is a java-properties file (the offline stand-in for HOCON, S5):
+ *
+ *   usecase = map | export | map_export | query
+ *   input.citygml  = /path/a.gml,/path/dir      # file or directory per entry
+ *   input.cityjson = /path/b.json
+ *   output.dir     = /tmp/out
+ *   bbox           =                            # "" -> infinite box (P6 default)
+ *   mapper.exclude.attrs =                      # P1/P2 projection at ingest
+ *   query.sql      = SELECT ...                 # usecase=query, views: footprints
+ *
+ * map: ingest every input as its own partition index (reference
+ * `__PARTITION_INDEX__` semantics), apply attribute exclusion, write the
+ * footprint table resumable via IceLite (per-partition lineage), resolve
+ * XLinks with audit, write census + R-tree-style PNG diagnostics.
+ */
+object Main {
+
+  final case class RunConfig(
+      usecase: String,
+      citygml: Seq[String],
+      cityjson: Seq[String],
+      outputDir: String,
+      bbox: Option[Env6],
+      excludeAttrs: Set[String],
+      querySql: Option[String])
+
+  def loadConfig(path: String): RunConfig = {
+    val p = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(path))
+    try p.load(in) finally in.close()
+    def list(k: String) = Option(p.getProperty(k)).map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val bbox = Option(p.getProperty("bbox")).map(_.trim).filter(_.nonEmpty).map { s =>
+      val a = s.split(",").map(_.trim.toDouble)
+      Env6(a(0), a(1), a(2), a(3), a(4), a(5))
+    }
+    RunConfig(
+      usecase = Option(p.getProperty("usecase")).getOrElse("map").trim,
+      citygml = list("input.citygml"),
+      cityjson = list("input.cityjson"),
+      outputDir = Option(p.getProperty("output.dir")).getOrElse("out").trim,
+      bbox = bbox, // None = infinite box (CityKGDBConfig.java:16-25 semantics)
+      excludeAttrs = list("mapper.exclude.attrs").toSet,
+      querySql = Option(p.getProperty("query.sql")).map(_.trim).filter(_.nonEmpty))
+  }
+
+  def ingest(cfg: RunConfig): (Seq[Footprint], Seq[HrefRef], Seq[IdRec]) = {
+    var partition = 0
+    val fps = Seq.newBuilder[Footprint]
+    val hrefs = Seq.newBuilder[HrefRef]
+    val ids = Seq.newBuilder[IdRec]
+    cfg.citygml.foreach { path =>
+      val doc =
+        if (Files.isDirectory(Paths.get(path))) CityGmlReader.parseDirectory(path)
+        else CityGmlReader.parseFile(path)
+      fps ++= CityGmlReader.toFootprints(doc, partition)
+      hrefs ++= CityGmlReader.toHrefs(doc, partition)
+      ids ++= CityGmlReader.toIds(doc, partition)
+      partition += 1
+    }
+    cfg.cityjson.foreach { path =>
+      val doc = CityJsonReader.parseFile(path)
+      fps ++= CityJsonReader.toFootprints(doc, partition)
+      partition += 1
+    }
+    // P1/P2 config-driven projection: drop excluded attribute keys at ingest
+    val cleaned = fps.result().map(f => f.copy(attrs = f.attrs -- cfg.excludeAttrs))
+    (cleaned, hrefs.result(), ids.result())
+  }
+
+  def runMap(spark: SparkSession, cfg: RunConfig): Unit = {
+    import spark.implicits._
+    val (fps, hrefs, ids) = ingest(cfg)
+    val out = cfg.outputDir
+    Files.createDirectories(Paths.get(out))
+    val fpDs = spark.createDataset(fps)
+    // resumable footprint table with per-partition lineage (IceLite)
+    IceLite.writeResumable(fpDs.toDF(), s"$out/footprints", "partition_id")
+    // J1 XLink resolution + audit
+    if (hrefs.nonEmpty) {
+      val resolved = XLinkResolve.resolve(
+        spark.createDataset(hrefs).toDF(), spark.createDataset(ids).toDF())
+      resolved.write.mode("overwrite").parquet(s"$out/xlinks")
+      XLinkResolve.audit(resolved).write.mode("overwrite").parquet(s"$out/xlink_audit")
+    }
+    // A2 census + S9 diagnostics
+    Census.byType(fpDs).write.mode("overwrite").parquet(s"$out/census")
+    fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
+      PngSink.render(pfps.filter(_.feature_type == "Building"), s"$out/footprints_p$pid.png")
+    }
+  }
+
+  def runExport(spark: SparkSession, cfg: RunConfig): Unit = {
+    import spark.implicits._
+    val fps = IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint]
+      .collect().toSeq
+    fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
+      Exporters.exportCityGml(pfps, s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+      Exporters.exportCityJson(Exporters.bboxFilter(pfps, cfg.bbox),
+        s"${cfg.outputDir}/export_p$pid.json")
+    }
+  }
+
+  def runQuery(spark: SparkSession, cfg: RunConfig): Unit = {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint].toDF()
+      .createOrReplaceTempView("footprints")
+    val sql = cfg.querySql.getOrElse("SELECT feature_type, count(*) AS cnt FROM footprints GROUP BY 1")
+    spark.sql(sql).write.mode("overwrite").parquet(s"${cfg.outputDir}/query_result")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = loadConfig(args.headOption.getOrElse("config/run.properties"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-citykg")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg.usecase match {
+      case "map" => runMap(spark, cfg)
+      case "export" => runExport(spark, cfg)
+      case "map_export" => runMap(spark, cfg); runExport(spark, cfg)
+      case "query" => runQuery(spark, cfg)
+      case other => sys.error(s"unknown usecase: $other")
+    }
+    spark.stop()
+  }
+}

@@ -54,19 +54,25 @@ object Dedup {
    */
   def lshPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                perms: Int = 4, ngram: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val withSig = docs
-      .withColumn("toks", array_distinct(tokens(col(textCol))))
-      .withColumn("sh", shingles(tokens(col(textCol)), ngram))
-    val sig = withSig.select(col(idCol).as("id"), col("toks"),
-      array((1 to perms).map(p =>
-        array_min(transform(col("sh"), s => md5(concat(s, lit(s"_$p")).cast("binary"))))): _*).as("bands"))
-    val buckets = sig.select(col("id"), col("toks"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("band", "bucket"))
+    // 1) narrow band join on ids only (token arrays would bloat the shuffle
+    //    and the distinct), 2) dedup candidate id pairs, 3) re-attach token
+    //    sets with two broadcast-friendly joins, 4) exact-Jaccard verify.
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val sh = shingles(tokens(col(textCol)), ngram)
+    val buckets = docs.select(col(idCol).as("id"),
+        posexplode(array((1 to perms).map(p =>
+          array_min(transform(sh, s => md5(concat(s, lit(s"_$p")).cast("binary"))))): _*))
+          .as(Seq("band", "bucket")))
+      .where(col("bucket").isNotNull)
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b")).distinct()
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .withColumn("jac",
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))

@@ -2,6 +2,8 @@ package graft.sources
 
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
+import scala.jdk.CollectionConverters._
+
 import graft.core.Geom
 import graft.model._
 
@@ -226,6 +228,25 @@ object CityGmlReader {
       }
       bRow.toSeq ++ surfRows
     }
+  }
+
+  /**
+   * Directory scan (reference S4, `CityKGDB.mapCityDir`, CityKGDB.java:159-258):
+   * every .gml/.xml file under `dir` belongs to ONE dataset/partition; the
+   * per-file CityModels are merged by union, file order = sorted walk order
+   * (reference W3 merge semantics, CityKGDB.java:231-255).
+   */
+  def parseDirectory(dir: String): GmlDoc = {
+    val files = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.filter(p => {
+          val n = p.toString.toLowerCase
+          java.nio.file.Files.isRegularFile(p) && (n.endsWith(".gml") || n.endsWith(".xml"))
+        }).toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+    val docs = files.map(f => parseFile(f.toString))
+    GmlDoc(docs.flatMap(_.buildings), docs.map(_.srs).find(_.nonEmpty).getOrElse(""))
   }
 
   /** Href records for the J1 XLink-resolution join. */

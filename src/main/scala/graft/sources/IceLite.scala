@@ -91,11 +91,20 @@ object IceLite {
     sb.toString
   }
 
-  /** Order-independent lineage of a DataFrame: rows + Σ xxhash64(all cols). */
+  /** Order-independent lineage of a DataFrame: rows + Σ xxhash64(all cols).
+    * MAP columns are canonicalized to sorted entry arrays first (Spark
+    * forbids hashing maps because their iteration order is unspecified). */
   def lineageOf(df: DataFrame): (Long, String) = {
+    val hashable = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          sort_array(map_entries(col(f.name)))
+        case _ => col(f.name)
+      }
+    }
     val row = df
       .agg(count(lit(1)).as("rows"),
-        coalesce(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")), lit(0))
+        coalesce(sum(xxhash64(hashable: _*).cast("decimal(38,0)")), lit(0))
           .as("checksum"))
       .head()
     (row.getLong(0), Option(row.get(1)).map(_.toString).getOrElse("0"))
