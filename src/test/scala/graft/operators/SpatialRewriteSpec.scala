@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.GeoFunctions
+import graft.sources.{CityGmlReader, ImageGen}
+
+class SpatialRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val fps = CityGmlReader.toFootprints(
+    CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
+    .filter(_.feature_type == "Building")
+  lazy val points: Seq[(String, Double, Double)] =
+    (0L until 2000L).map { i => val (x, y) = ImageGen.geotag(i); (f"img_$i%010d", x, y) }
+
+  def naiveJoin = {
+    val pts = points.toDF("image_id", "x", "y")
+    val polys = spark.createDataset(fps).select("feature_id", "ring", "holes")
+    pts.crossJoin(polys)
+      .where(GeoFunctions.st_covers(col("ring"), col("holes"), col("x"), col("y")))
+      .select("image_id", "feature_id")
+  }
+
+  test("SpatialJoinRewrite: naive cross join + st_covers becomes a cell equi-join") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    val q = naiveJoin
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("hex_encode"), s"expected cell prejoin:\n$optimized")
+    assert(optimized.contains("hex_cover"), s"expected polygon cover explode:\n$optimized")
+    q.collect()
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop"),
+      s"rewrite must eliminate the nested-loop join:\n$physical")
+    // rows identical to brute force
+    val got = q.as[(String, String)].collect().toSet
+    val want = PipJoin.bruteForce(points, fps)
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("rewrite fires regardless of which side is the point side") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    val pts = points.toDF("image_id", "x", "y")
+    val polys = spark.createDataset(fps).select("feature_id", "ring", "holes")
+    val q = polys.crossJoin(pts) // polygons LEFT, points RIGHT
+      .where(GeoFunctions.st_covers(col("ring"), col("holes"), col("x"), col("y")))
+      .select("image_id", "feature_id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("hex_encode"))
+    val got = q.as[(String, String)].collect().toSet
+    assert(got === PipJoin.bruteForce(points, fps))
+  }
+
+  test("rewrite leaves non-spatial joins untouched") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((1, "z")).toDF("id2", "w")
+    val q = a.join(b, col("id") === col("id2"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("hex_encode"))
+    assert(q.count() === 1)
+  }
+}
