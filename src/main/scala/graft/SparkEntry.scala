@@ -301,7 +301,7 @@ object SparkEntry {
       // resumable write: commit half, "restart" with full input, audit lineage
       val tmp = java.nio.file.Files.createTempDirectory("icelite_q").toString
       val table = s"$tmp/events"
-      val df = t(s, dir, "events")
+      val df = t(s, dir, "events").where(col("event_id") % 5 === 0)
       graft.sources.IceLite.writeResumable(
         df.where(col("event_type").isin("click", "error")), table, "event_type")
       val (written, skipped) = graft.sources.IceLite.writeResumable(df, table, "event_type")
@@ -476,14 +476,18 @@ object SparkEntry {
            SELECT doc_id, min(md5(s || '_1')) AS m1, min(md5(s || '_2')) AS m2,
                   min(md5(s || '_3')) AS m3, min(md5(s || '_4')) AS m4
            FROM sh GROUP BY 1),
+         bk AS (
+           SELECT doc_id, 0 AS band, m1 AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, m2 FROM sig
+           UNION ALL SELECT doc_id, 2, m3 FROM sig
+           UNION ALL SELECT doc_id, 3, m4 FROM sig),
+         small AS (
+           SELECT band, bucket FROM bk GROUP BY 1, 2 HAVING count(*) <= 100),
+         bks AS (SELECT bk.* FROM bk JOIN small USING (band, bucket)),
          cand AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.m1 = b.m1 AND a.doc_id < b.doc_id
-           UNION
-           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m2 = b.m2 AND a.doc_id < b.doc_id
-           UNION
-           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m3 = b.m3 AND a.doc_id < b.doc_id
-           UNION
-           SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b ON a.m4 = b.m4 AND a.doc_id < b.doc_id)
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bks a JOIN bks b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b,
                 CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
                 CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jac
