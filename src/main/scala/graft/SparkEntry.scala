@@ -244,6 +244,13 @@ object SparkEntry {
       graft.operators.AnnSearch.lshTopK(e, probes, k = 5, planes = 4, bands = 12)
         .select("probe_id", "vec_id", "cos", "rnk")
     }),
+    "q23_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      graft.operators.AnnSearch.ivfTopK(e, probes, k = 5, nlist = 16, nprobe = 4)
+        .select("probe_id", "vec_id", "cos", "rnk")
+    }),
     "q22_embed_neardup" -> ((s, dir) => {
       // plant deterministic near-duplicates (vec + 0.001 on dim 0), find them
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")

@@ -63,6 +63,38 @@ object TextFunctions {
       meanWordLen.as("mean_word_len"), score.as("quality"))
   }
 
+  /**
+   * F2 string→type sniffing cascade (reference `ClazzUtils.castPrintableObject`
+   * regex rules, ClazzUtils.java:88-142): boolean → char → integer (narrowest
+   * of byte/short/int/long by range) → float/double ([0-9]+[.,][0-9]+) →
+   * timestamp → string. Returns struct<kind, bool_v, long_v, double_v, ts_v>.
+   * Only needed at the GML ingest boundary — the engine itself keeps native
+   * Catalyst types (SURVEY §1.4).
+   */
+  def typedParse(c: Column): Column = {
+    val trimmed = trim(c)
+    val isBool = trimmed.rlike("^(?i)(true|false)$")
+    val isInt = trimmed.rlike("^-?[0-9]+$")
+    val isDec = trimmed.rlike("^-?[0-9]+[.,][0-9]+$")
+    val longV = trimmed.cast("long")
+    val intKind = when(longV.between(-128, 127), "byte")
+      .when(longV.between(-32768, 32767), "short")
+      .when(longV.between(Int.MinValue.toLong, Int.MaxValue.toLong), "int")
+      .otherwise("long")
+    val tsV = try_to_timestamp(trimmed)
+    struct(
+      when(isBool, lit("boolean"))
+        .when(length(trimmed) === 1 && !trimmed.rlike("^[0-9]$"), lit("char"))
+        .when(isInt && longV.isNotNull, intKind)
+        .when(isDec, lit("double"))
+        .when(tsV.isNotNull, lit("timestamp"))
+        .otherwise(lit("string")).as("kind"),
+      when(isBool, lower(trimmed) === "true").as("bool_v"),
+      when(isInt, longV).as("long_v"),
+      when(isDec, regexp_replace(trimmed, ",", ".").cast("double")).as("double_v"),
+      tsV.as("ts_v"))
+  }
+
   /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)

@@ -69,6 +69,92 @@ object AnnSearch {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /**
+   * IVF (inverted-file) ANN — the cluster-prune scale path: deterministic
+   * Lloyd's k-means over a bounded sample fits `nlist` centroids on the
+   * driver; the table is assigned to its nearest centroid (mapPartitions,
+   * broadcast centroids, primitive loops — at 10^12 rows the cluster id is
+   * also the table's cluster/partition key so a probe reads `nprobe/nlist`
+   * of the data); probes score only their `nprobe` nearest lists.
+   */
+  def ivfTopK(table: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = table.sparkSession
+    import spark.implicits._
+    val sample = table.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(math.max(1000, nlist * 100)) // bounded, deterministic fit sample
+      .as[(Long, Array[Float])].collect().map(_._2)
+    val centroids = kmeans(sample, nlist, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val ctr = cs(c)
+        while (i < v.length) { val dx = v(i) - ctr(i); d += dx * dx; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    val assigned = table.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestList(v, cs)) }
+      }.toDF(idCol, vecCol, "list_id")
+
+    val probeLists = probes.select(col("probe_id"), col("pvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (pid, pv) =>
+        val cs = bc.value
+        cs.indices.map { c =>
+          var d = 0.0; var i = 0
+          while (i < pv.length) { val dx = pv(i) - cs(c)(i); d += dx * dx; i += 1 }
+          (pid, pv, c, d)
+        }.sortBy(_._4).take(nprobe)
+      }.toDF("probe_id", "pvec", "list_id", "cdist")
+
+    val scored = assigned.join(broadcast(probeLists.select("probe_id", "pvec", "list_id")), Seq("list_id"))
+      .withColumn("cos", cosine(col(vecCol), col("pvec")))
+      .select(col("probe_id"), col(idCol), col("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic Lloyd's k-means (driver-side; centroids are tiny). */
+  def kmeans(vecs: Array[Array[Float]], kIn: Int, iters: Int): Array[Array[Double]] = {
+    val k = math.min(kIn, vecs.length)
+    val dim = vecs.head.length
+    var centroids = Array.tabulate(k)(i => vecs(i * vecs.length / k).map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val dx = v(i) - centroids(c)(i); d += dx * dx; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
   /** Driver-side oracle. */
   def bruteForce(table: Seq[(Long, Array[Float])], probes: Seq[(Long, Array[Float])],
                  k: Int): Set[(Long, Long, Int)] = {

@@ -112,6 +112,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN top-k: recall@5 >= 0.5 at nprobe/nlist = 1/4 cost") {
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 50 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val got = AnnSearch.ivfTopK(embs, probes, k = 5, nlist = 16, nprobe = 4)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.5, s"recall=$recall") // uniform-random embeddings: hardest case
+    // determinism: same result twice
+    val again = AnnSearch.ivfTopK(embs, probes, k = 5, nlist = 16, nprobe = 4)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
+  test("typedParse: reference ClazzUtils sniffing cascade semantics") {
+    import graft.functions.TextFunctions.typedParse
+    val d = Seq("true", "FALSE", "x", "7", "4711", "123456", "9999999999",
+      "3.14", "2,5", "2020-01-02 03:04:05", "hello world", "-42")
+      .toDF("s").select(col("s"), typedParse(col("s")).as("t"))
+      .select(col("s"), col("t.kind"), col("t.bool_v"), col("t.long_v"), col("t.double_v"))
+    val m = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("true") === "boolean" && m("FALSE") === "boolean")
+    assert(m("x") === "char")
+    assert(m("7") === "byte")      // narrowest-type rule, ClazzUtils.java:88-142
+    assert(m("4711") === "short")
+    assert(m("123456") === "int")
+    assert(m("9999999999") === "long")
+    assert(m("-42") === "byte")
+    assert(m("3.14") === "double" && m("2,5") === "double")
+    assert(m("2020-01-02 03:04:05") === "timestamp")
+    assert(m("hello world") === "string")
+    val vals = d.collect().map(r => r.getString(0) ->
+      (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(vals("true")._1.contains(true))
+    assert(vals("4711")._2.contains(4711L))
+    assert(vals("2,5")._3.contains(2.5))
+  }
+
   test("embedding near-dup: planted duplicate vectors found") {
     val base = embs.limit(40).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/**
+ * Plan-quality gates: the 100 TB design claims (pushdown, pruning, broadcast,
+ * codegen, no stray shuffles) asserted on actual physical plans — so a
+ * regression that silently defeats the optimizer fails CI, not production.
+ */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("filter + projection reach the parquet scan (PushedFilters, ReadSchema)") {
+    val q = graft.SparkEntry.queries("q2_filter_project")(spark, sf)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull"), s"filters not pushed:\n$scan")
+    assert(scan.contains("LessThan(l_shipdate") || scan.contains("GreaterThan(l_quantity"),
+      s"predicate not pushed:\n$scan")
+    // column pruning: only the 4 referenced columns, not all 11
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns:\n$readSchema")
+  }
+
+  test("dimension join broadcasts (no shuffle of the fact side)") {
+    val q = graft.SparkEntry.queries("q3_join_broadcast")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$plan")
+  }
+
+  test("codegen expr PIP path: no join operator, single scan, codegen span") {
+    val dir = "target/tmp/plan_pts"
+    (0 until 1000).map(i => (s"p$i", 457842.0 + i % 12, 5439083.0 + i % 10))
+      .toDF("image_id", "x", "y").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val q = PipJoin.exprJoin(pts, benchPolys)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expr path must be join-free:\n$plan")
+    assert(plan.contains("pip_matches"), plan)
+    assert(plan.count(_ == '*') >= 1, s"expected a codegen span:\n$plan")
+  }
+
+  private lazy val benchPolys = graft.Bench.benchPolygons
+
+  test("salted join splits the hot cell key across salts (skew mitigation)") {
+    // 60%-skewed points: the unsalted cell key would put ~60% of rows in one
+    // reducer group; salting spreads them over `salts` buckets
+    val pts = (0L until 4000L).map { i =>
+      val (x, y) = graft.sources.ImageGen.geotag(i); (f"i$i%06d", x, y)
+    }.toDF("image_id", "x", "y")
+    val cell = graft.functions.GeoFunctions.hex_encode(col("x"), col("y"), lit(11))
+    val unsaltedMax = pts.groupBy(cell.as("c")).count().agg(max("count")).head().getLong(0)
+    val saltedMax = pts
+      .withColumn("salt", pmod(hash(col("x"), col("y")), lit(8)))
+      .groupBy(cell.as("c"), col("salt")).count().agg(max("count")).head().getLong(0)
+    assert(unsaltedMax > 2000, s"fixture should be skewed, max=$unsaltedMax")
+    assert(saltedMax < unsaltedMax / 4, s"salting must split the hot key: $saltedMax vs $unsaltedMax")
+  }
+}
