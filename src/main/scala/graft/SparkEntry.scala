@@ -271,6 +271,20 @@ object SparkEntry {
     }),
 
     // ---- event-time windowing (batch shape of the streaming op) ----
+    "q31_rollup" -> ((s, dir) => {
+      // hierarchical census with subtotals (beyond the reference's flat census)
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "q32_setops" -> ((s, dir) => {
+      // intersect/except surface: urgent customers who are also machinery segment
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+      val high = t(s, dir, "orders").where(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("ck"))
+      urgent.intersect(high).unionByName(
+        high.except(urgent).withColumn("ck", -col("ck"))).select("ck")
+    }),
     "q24_tumbling_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
@@ -515,6 +529,15 @@ object SparkEntry {
                                ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
                                 CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
          FROM documents""",
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q32_setops" ->
+      """WITH urgent AS (SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'),
+         high AS (SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000.0)
+         SELECT ck FROM (SELECT ck FROM urgent INTERSECT SELECT ck FROM high)
+         UNION ALL
+         SELECT -ck FROM (SELECT ck FROM high EXCEPT SELECT ck FROM urgent)""",
     "q24_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
                 count(*) AS cnt, max(value) AS max_value

@@ -52,6 +52,42 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private lazy val benchPolys = graft.Bench.benchPolygons
 
+  test("bucketed tables co-locate the cell-key join (no shuffle exchange)") {
+    // the 100 TB layout: both sides bucketed by the cell key at write time ->
+    // the join needs no Exchange at read time
+    spark.sql("DROP TABLE IF EXISTS pts_bucketed")
+    spark.sql("DROP TABLE IF EXISTS cells_bucketed")
+    // in-memory catalog forgets tables across JVMs but the warehouse dirs stay
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("pts_bucketed", "cells_bucketed").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val cell = graft.functions.GeoFunctions.hex_encode(col("x"), col("y"), lit(11))
+    val pts = (0L until 5000L).map { i =>
+      val (x, y) = graft.sources.ImageGen.geotag(i); (f"i$i%06d", x, y)
+    }.toDF("image_id", "x", "y").withColumn("cell", cell)
+    pts.write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable("pts_bucketed")
+    pts.groupBy("cell").count()
+      .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("cells_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val q = spark.table("pts_bucketed")
+        .join(spark.table("cells_bucketed"), Seq("cell"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must not shuffle either side:\n$plan")
+      assert(q.count() === 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join splits the hot cell key across salts (skew mitigation)") {
     // 60%-skewed points: the unsalted cell key would put ~60% of rows in one
     // reducer group; salting spreads them over `salts` buckets

@@ -53,6 +53,20 @@ class SpatialRewriteSpec extends AnyFunSuite {
     assert(got === PipJoin.bruteForce(points, fps))
   }
 
+  test("pure SQL surface: JOIN ... ON st_covers(...) gets the filter-refine plan") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    points.toDF("image_id", "x", "y").createOrReplaceTempView("sql_pts")
+    spark.createDataset(fps).select("feature_id", "ring", "holes")
+      .createOrReplaceTempView("sql_polys")
+    val q = spark.sql(
+      """SELECT image_id, feature_id
+         FROM sql_pts JOIN sql_polys ON st_covers(ring, holes, x, y)""")
+    assert(q.queryExecution.optimizedPlan.toString.contains("hex_encode"),
+      "rewrite must fire on SQL-authored joins too")
+    val got = q.as[(String, String)].collect().toSet
+    assert(got === PipJoin.bruteForce(points, fps))
+  }
+
   test("rewrite leaves non-spatial joins untouched") {
     org.apache.spark.sql.graft.GraftExtensions.enable(spark)
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
