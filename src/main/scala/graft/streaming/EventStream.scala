@@ -61,6 +61,21 @@ object EventStream {
       }.toDF()
   }
 
+  /**
+   * Streaming spatial enrichment: a stream of geotagged image rows is
+   * PIP-matched against the footprint index per micro-batch — the
+   * `pip_matches` expression is stateless, so the streaming plan is the same
+   * codegen map-only shape as the batch plan (no state store, no shuffle).
+   */
+  def pipEnrich(spark: SparkSession, pointsDir: String,
+                polys: Seq[graft.model.Footprint]): DataFrame = {
+    val schema = new StructType()
+      .add("image_id", StringType).add("x", DoubleType).add("y", DoubleType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(pointsDir)
+    graft.operators.PipJoin.exprJoin(stream, polys)
+  }
+
   /** Replay a batch parquet dir through the streaming graph into memory sink. */
   def replayWindowed(spark: SparkSession, path: String, queryName: String): DataFrame = {
     val q = windowedCounts(spark, path).writeStream

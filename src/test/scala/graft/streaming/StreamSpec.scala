@@ -38,6 +38,26 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming PIP enrichment == batch join (stateless codegen expression in a stream)") {
+    val fps = graft.sources.CityGmlReader.toFootprints(
+      graft.sources.CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
+      .filter(_.feature_type == "Building")
+    val pts = (0L until 3000L).map { i =>
+      val (x, y) = graft.sources.ImageGen.geotag(i); (f"img_$i%010d", x, y)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pip_stream").toString
+    pts.toDF("image_id", "x", "y").repartition(5).write.mode("overwrite").parquet(dir)
+    val q = EventStream.pipEnrich(spark, dir, fps).writeStream
+      .format("memory").queryName("pip_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pip_stream").select("image_id", "feature_id")
+      .as[(String, String)].collect().toSet
+    val want = graft.operators.PipJoin.bruteForce(pts, fps)
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("stateful streaming sessionization == batch q25 sessions") {
     val stream = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", 1)
