@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
  *    callers derive data deterministically (content-derived ids, F8), so a
  *    re-run is idempotent and the final table is byte-stable;
  *  - checksum = Σ (as decimal, overflow-free) of xxhash64 over all columns —
- *    order-independent, so it is stable under shuffle/parallelism changes.
+ *    order-independent, so it is stable under shuffle/parallelism changes;
+ *  - lineage is collected with `observe()` DURING the write job (single scan
+ *    per partition); `verifyLineage` recomputes it independently for audit.
  *
  * Metadata I/O is driver-side JSON (tiny); data I/O is ordinary distributed
  * parquet. At 100 TB the manifest holds O(#partitions) entries, not O(rows).
@@ -91,10 +93,11 @@ object IceLite {
     sb.toString
   }
 
-  /** Order-independent lineage of a DataFrame: rows + Σ xxhash64(all cols).
-    * MAP columns are canonicalized to sorted entry arrays first (Spark
-    * forbids hashing maps because their iteration order is unspecified). */
-  def lineageOf(df: DataFrame): (Long, String) = {
+  /** The two lineage aggregates: row count + Σ xxhash64(all cols) — order-
+    * independent, so stable under shuffle/parallelism changes. MAP columns
+    * are canonicalized to sorted entry arrays first (Spark forbids hashing
+    * maps because their iteration order is unspecified). */
+  private def lineageAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     val hashable = df.schema.fields.map { f =>
       f.dataType match {
         case _: org.apache.spark.sql.types.MapType =>
@@ -102,11 +105,17 @@ object IceLite {
         case _ => col(f.name)
       }
     }
-    val row = df
-      .agg(count(lit(1)).as("rows"),
-        coalesce(sum(xxhash64(hashable: _*).cast("decimal(38,0)")), lit(0))
-          .as("checksum"))
-      .head()
+    Seq(count(lit(1)).as("rows"),
+      coalesce(sum(xxhash64(hashable.toSeq: _*).cast("decimal(38,0)")), lit(0))
+        .as("checksum"))
+  }
+
+  /** Order-independent lineage of a DataFrame (dedicated aggregation pass —
+    * the independent recompute used by `verifyLineage`; the write path gets
+    * the same numbers for free via `observe`). */
+  def lineageOf(df: DataFrame): (Long, String) = {
+    val aggs = lineageAggs(df)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     (row.getLong(0), Option(row.get(1)).map(_.toString).getOrElse("0"))
   }
 
@@ -128,8 +137,16 @@ object IceLite {
     todo.foreach { pv =>
       val part = df.where(col(partCol).cast("string") === pv)
       val dataPath = s"$table/data/$pv"
-      part.write.mode("overwrite").parquet(dataPath)
-      val (rows, checksum) = lineageOf(part)
+      // observe(): the lineage aggregates ride the write job itself — one
+      // scan per partition, not write + recount (at 100 TB the recount pass
+      // would double the read volume)
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = lineageAggs(part)
+      part.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(dataPath)
+      val m = obs.get
+      val rows = m("rows").asInstanceOf[Long]
+      val checksum = Option(m("checksum")).map(_.toString).getOrElse("0")
       current = Snapshot(current.version + 1,
         current.partitions :+ PartitionLineage(pv, rows, checksum))
       commitSnapshot(table, current)
