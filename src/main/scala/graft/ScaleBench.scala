@@ -31,26 +31,38 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("SPARK_GRAFT_BENCH_POINTS").map(_.toLong).getOrElse(100000000L)
+    // kNN does ~100 distance evals per probe (vs one hash probe for PIP), so
+    // a 5x smaller staged input keeps wall time sane at the same >=10M-row
+    // scale where per-job fixed overhead (~0.3 s) is amortized
+    val nKnn = sys.env.get("SPARK_GRAFT_KNN_POINTS").map(_.toLong).getOrElse(n / 5)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(6)
     val mode = sys.env.getOrElse("SPARK_GRAFT_PIP_MODE", "expr")
     val nLow = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(4)
     val nHigh = nLow * 4
     val ptsDir = s"${sys.props("java.io.tmpdir")}/graft_bench_points_$n"
+    val knnDir = s"${sys.props("java.io.tmpdir")}/graft_bench_points_$nKnn"
     val polys = Bench.benchPolygons
 
     val s0 = session(32)
     if (!new java.io.File(s"$ptsDir/_SUCCESS").exists()) Bench.stagePoints(s0, n, ptsDir)
+    if (!new java.io.File(s"$knnDir/_SUCCESS").exists()) Bench.stagePoints(s0, nKnn, knnDir)
     s0.stop()
 
     var in = 0L; var joined = 0L
+    var kIn = 0L; var kRows = 0L
     val times = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
+    val ktimes = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
     for (rep <- 1 to reps; cpus <- Seq(nLow, nHigh)) { // interleaved
       val s = session(cpus)
       Bench.timedPipJoin(s, ptsDir, polys, mode) // per-session JIT warmup
       val (i, j, secs) = Bench.timedPipJoin(s, ptsDir, polys, mode)
       in = i; joined = j
       times(cpus) = secs :: times(cpus)
-      System.err.println(f"[scale] rep=$rep cpus=$cpus secs=$secs%.3f")
+      Bench.timedKnnJoin(s, knnDir, polys) // warmup
+      val (ki, kr, ksecs) = Bench.timedKnnJoin(s, knnDir, polys)
+      kIn = ki; kRows = kr
+      ktimes(cpus) = ksecs :: ktimes(cpus)
+      System.err.println(f"[scale] rep=$rep cpus=$cpus pip=$secs%.3f knn=$ksecs%.3f")
       s.stop()
     }
     val t8 = times(nLow).min
@@ -58,8 +70,13 @@ object ScaleBench {
     val r8 = in / t8
     val r32 = in / t32
     val eff = r32 / (4.0 * r8)
+    val kt8 = ktimes(nLow).min
+    val kt32 = ktimes(nHigh).min
+    val kr8 = kIn / kt8
+    val kr32 = kIn / kt32
+    val keff = kr32 / (4.0 * kr8)
     val json =
-      s"""{"metric":"pip-join scaling efficiency local[$nLow]->local[$nHigh]","value":${f"$eff%.3f"},"unit":"ratio","points":$in,"joined":$joined,"n_low":$nLow,"n_high":$nHigh,"rows_per_sec_low":${f"$r8%.0f"},"rows_per_sec_high":${f"$r32%.0f"},"sec_low":${f"$t8%.3f"},"sec_high":${f"$t32%.3f"},"reps":$reps,"mode":"$mode","all_sec_8":[${times(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_32":[${times(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]}"""
+      s"""{"metric":"pip-join scaling efficiency local[$nLow]->local[$nHigh]","value":${f"$eff%.3f"},"unit":"ratio","points":$in,"joined":$joined,"n_low":$nLow,"n_high":$nHigh,"rows_per_sec_low":${f"$r8%.0f"},"rows_per_sec_high":${f"$r32%.0f"},"sec_low":${f"$t8%.3f"},"sec_high":${f"$t32%.3f"},"reps":$reps,"mode":"$mode","knn":{"efficiency":${f"$keff%.3f"},"points":$kIn,"rows":$kRows,"rows_per_sec_low":${f"$kr8%.0f"},"rows_per_sec_high":${f"$kr32%.0f"},"sec_low":${f"$kt8%.3f"},"sec_high":${f"$kt32%.3f"},"all_sec_low":[${ktimes(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_high":[${ktimes(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]},"all_sec_8":[${times(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_32":[${times(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]}"""
     println(json)
 
     val md =
@@ -81,6 +98,19 @@ object ScaleBench {
          || throughput @ local[$nLow] | ${f"$r8%.0f"} rows/s |
          || throughput @ local[$nHigh] | ${f"$r32%.0f"} rows/s |
          || **scaling efficiency** r32/(4·r8) | **${f"$eff%.3f"}** (target ≥ 0.8) |
+         |
+         |Companion north-star stage: kNN join (codegen knn_matches expression,
+         |k=3 against the 101 footprint centroids) on the same protocol:
+         |
+         || quantity | value |
+         ||---|---|
+         || probes (staged parquet) | $kIn |
+         || result rows | $kRows |
+         || best wall time @ local[$nLow] | ${f"$kt8%.3f"} s |
+         || best wall time @ local[$nHigh] | ${f"$kt32%.3f"} s |
+         || throughput @ local[$nLow] | ${f"$kr8%.0f"} rows/s |
+         || throughput @ local[$nHigh] | ${f"$kr32%.0f"} rows/s |
+         || **scaling efficiency** | **${f"$keff%.3f"}** (target ≥ 0.8) |
          |
          |Protocol: identical job and staged input at both parallelism levels
          |($nLow vs $nHigh cores = the 1:4 executor ratio; BASELINE.md "Measurement

@@ -48,49 +48,18 @@ object KnnJoin {
    * probe_id, target_id, d2, rnk (1-based by (d2, target_id)).
    */
   def broadcastGrid(probes: DataFrame, targets: Seq[(String, Double, Double)],
-                    k: Int, res: Int = 12, maxR: Int = 64): DataFrame = {
-    val spark = probes.sparkSession
-    import spark.implicits._
-    val grid: Map[Long, Array[(String, Double, Double)]] =
-      targets.groupBy(t => HexGrid.encode(t._2, t._3, res))
-        .map { case (c, ts) => c -> ts.toArray }
-    val bc = spark.sparkContext.broadcast(grid)
-    val pts = probes.select(col("probe_id").cast("string"), col("x").cast("double"),
-      col("y").cast("double")).as[(String, Double, Double)]
-    pts.flatMap { case (pid, x, y) =>
-      val g = bc.value
-      val c0 = HexGrid.encode(x, y, res)
-      val best = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      var r = 0
-      var done = false
-      while (!done && r <= maxR) {
-        val cells = if (r == 0) Array(c0) else HexGrid.ring(c0, r)
-        var i = 0
-        while (i < cells.length) {
-          g.get(cells(i)).foreach { ts =>
-            var j = 0
-            while (j < ts.length) {
-              val t = ts(j)
-              val dx = t._2 - x; val dy = t._3 - y
-              best += ((t._1, dx * dx + dy * dy))
-              j += 1
-            }
-          }
-          i += 1
-        }
-        if (best.size >= k) {
-          val sorted = best.sortBy(b => (b._2, b._1))
-          val kth = math.sqrt(sorted(k - 1)._2)
-          // strict <: unseen targets are then strictly farther, so no tie with
-          // the k-th candidate can be missed
-          if (kth < ringLowerBound(res, r + 1)) done = true
-        }
-        r += 1
-      }
-      best.sortBy(b => (b._2, b._1)).take(k).zipWithIndex.map {
-        case ((tid, d2), idx) => (pid, tid, d2, idx + 1)
-      }
-    }.toDF("probe_id", "target_id", "d2", "rnk")
+                    k: Int, res: Int = 12, maxR: Int = 64,
+                    linearLimit: Int = 512): DataFrame = {
+    // the index rides the plan as a reference object; the probe scan stays one
+    // whole-stage-codegen span (scan → knn_matches → explode), no join, no
+    // shuffle, no Encoder round-trip (see KnnIndex for the strategy split)
+    val index = new KnnIndex(targets, k, res, maxR, linearLimit)
+    probes
+      .select(col("probe_id").cast("string").as("probe_id"),
+        explode(org.apache.spark.sql.graft.GeoFunctionsImpl.knn_matches(
+          col("x").cast("double"), col("y").cast("double"), index)).as("m"))
+      .select(col("probe_id"), col("m.target_id").as("target_id"),
+        col("m.d2").as("d2"), col("m.rnk").as("rnk"))
   }
 
   /**

@@ -118,6 +118,26 @@ object PipJoin {
       explode(org.apache.spark.sql.graft.GeoFunctionsImpl.pip_matches(col("x"), col("y"), index)))
   }
 
+  /**
+   * Physical-path auto-selection: the polygon side rides in the plan when it
+   * is small enough to serialize (codegen expr path — fastest, join-free);
+   * broadcast cell-join when it fits the broadcast threshold as exploded
+   * cells; salted shuffle join otherwise (huge or heavily-skewed polygon
+   * side). Mirrors what a planner strategy would choose from statistics.
+   */
+  def auto(points: DataFrame, polys: Seq[Footprint], res: Int = DefaultRes,
+           exprLimit: Int = 100000, broadcastLimit: Int = 5000000): DataFrame = {
+    val vertices = polys.iterator.map(f => f.ring.size + f.holes.map(_.size).sum).sum
+    if (vertices <= exprLimit) exprJoin(points, polys, res)
+    else {
+      val spark = points.sparkSession
+      import spark.implicits._
+      val ds = spark.createDataset(polys)
+      if (vertices <= broadcastLimit) broadcastJoin(points, ds, res)
+      else saltedJoin(points, ds, res)
+    }
+  }
+
   /** Driver-side brute-force oracle for tests (O(n·m), small scale only). */
   def bruteForce(points: Seq[(String, Double, Double)],
                  polys: Seq[Footprint]): Set[(String, String)] = {

@@ -224,6 +224,31 @@ case class PipMatchesExpr(left: Expression, right: Expression,
   override def prettyName: String = "pip_matches"
 }
 
+/**
+ * Fully-codegen kNN match (same reference-object pattern as
+ * [[PipMatchesExpr]]): the target-centroid index ships in the plan, the
+ * generated code calls `index.matches(x, y)` directly and returns
+ * `array<struct<target_id,d2,rnk>>` with the rank precomputed — no join, no
+ * shuffle, no window on the probe scan.
+ */
+case class KnnMatchesExpr(left: Expression, right: Expression,
+                          index: graft.operators.KnnIndex)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("target_id", StringType).add("d2", DoubleType).add("rnk", IntegerType),
+    containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def nullSafeEval(x: Any, y: Any): Any =
+    index.matches(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("knnIndex", index, classOf[graft.operators.KnnIndex].getName)
+    defineCodeGen(ctx, ev, (x, y) => s"$ref.matches($x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "knn_matches"
+}
+
 /** Column index (x) of a quad cell — codegen'd static call. */
 case class ZCellXExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
@@ -291,6 +316,8 @@ object GeoFunctionsImpl {
     column(TileCoverExpr(expression(env), expression(z)))
   def pip_matches(x: Column, y: Column, index: graft.operators.PipIndex): Column =
     column(PipMatchesExpr(expression(x), expression(y), index))
+  def knn_matches(x: Column, y: Column, index: graft.operators.KnnIndex): Column =
+    column(KnnMatchesExpr(expression(x), expression(y), index))
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -20,7 +20,7 @@ class KnnJoinSpec extends AnyFunSuite {
     val want = KnnJoin.bruteForce(probes, targets, 3).toSet
     for (res <- Seq(10, 11, 12, 13)) {
       val got = KnnJoin.broadcastGrid(
-        probes.toDF("probe_id", "x", "y"), targets, k = 3, res = res)
+        probes.toDF("probe_id", "x", "y"), targets, k = 3, res = res, linearLimit = 0)
         .as[(String, String, Double, Int)].collect().toSet
       assert(got === want, s"res=$res")
     }
@@ -33,8 +33,19 @@ class KnnJoinSpec extends AnyFunSuite {
     }
     val want = KnnJoin.bruteForce(probes, dense, 5).toSet
     val got = KnnJoin.broadcastGrid(probes.toDF("probe_id", "x", "y"), dense, 5, res = 12,
-      maxR = 256).as[(String, String, Double, Int)].collect().toSet
+      maxR = 256, linearLimit = 0).as[(String, String, Double, Int)].collect().toSet
     assert(got === want)
+  }
+
+  test("linear fast path (small target set) ≡ grid ring path ≡ brute force") {
+    val want = KnnJoin.bruteForce(probes, targets, 3).toSet
+    // default linearLimit=512 routes 300 targets to the linear scan
+    val linear = KnnJoin.broadcastGrid(probes.toDF("probe_id", "x", "y"), targets, k = 3)
+      .as[(String, String, Double, Int)].collect().toSet
+    val grid = KnnJoin.broadcastGrid(probes.toDF("probe_id", "x", "y"), targets, k = 3,
+      linearLimit = 0).as[(String, String, Double, Int)].collect().toSet
+    assert(linear === want)
+    assert(linear === grid)
   }
 
   test("distributed ringJoin kNN == brute force") {

@@ -79,6 +79,17 @@ class PipJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"expr path must be join-free:\n$plan")
   }
 
+  test("auto path selection: every branch produces the same row set") {
+    val pts = cjPoints.toDF("image_id", "x", "y")
+    val want = PipJoin.bruteForce(cjPoints, cjFps)
+    // default thresholds → expr path (cjFps has ~500 vertices)
+    assert(runAndCollect(PipJoin.auto(pts, cjFps)) === want)
+    // force the broadcast cell-join branch
+    assert(runAndCollect(PipJoin.auto(pts, cjFps, exprLimit = 0)) === want)
+    // force the salted shuffle branch
+    assert(runAndCollect(PipJoin.auto(pts, cjFps, exprLimit = 0, broadcastLimit = 0)) === want)
+  }
+
   test("physical plan: broadcast path uses BroadcastHashJoin and keeps codegen on the big side") {
     val dir = "target/tmp/pip_pts"
     fzkPoints.toDF("image_id", "x", "y").write.mode("overwrite").parquet(dir)

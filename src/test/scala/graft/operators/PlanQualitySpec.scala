@@ -52,6 +52,21 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private lazy val benchPolys = graft.Bench.benchPolygons
 
+  test("codegen kNN path: no join, no shuffle, knn_matches in a codegen span") {
+    val dir = "target/tmp/plan_knn_pts"
+    (0 until 1000).map(i => (s"p$i", 457842.0 + i % 12, 5439083.0 + i % 10))
+      .toDF("probe_id", "x", "y").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val centroids = benchPolys.map(f => (f.feature_id, f.centroid.x, f.centroid.y))
+    val q = KnnJoin.broadcastGrid(pts, centroids, k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"knn expr path must be join-free:\n$plan")
+    assert(!plan.contains("Exchange"), s"knn expr path must be shuffle-free:\n$plan")
+    assert(plan.contains("knn_matches"), plan)
+    assert(plan.count(_ == '*') >= 1, s"expected a codegen span:\n$plan")
+  }
+
   test("bucketed tables co-locate the cell-key join (no shuffle exchange)") {
     // the 100 TB layout: both sides bucketed by the cell key at write time ->
     // the join needs no Exchange at read time
