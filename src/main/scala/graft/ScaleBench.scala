@@ -31,10 +31,10 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.get("SPARK_GRAFT_BENCH_POINTS").map(_.toLong).getOrElse(100000000L)
-    // kNN does ~100 distance evals per probe (vs one hash probe for PIP), so
-    // a 5x smaller staged input keeps wall time sane at the same >=10M-row
-    // scale where per-job fixed overhead (~0.3 s) is amortized
-    val nKnn = sys.env.get("SPARK_GRAFT_KNN_POINTS").map(_.toLong).getOrElse(n / 5)
+    // same staged input as PIP by default: the job must run seconds-long at
+    // BOTH levels or per-job fixed overhead (~0.3 s) caps the measurable
+    // efficiency (a 0.7 s high-level run can't show 0.8 no matter the engine)
+    val nKnn = sys.env.get("SPARK_GRAFT_KNN_POINTS").map(_.toLong).getOrElse(n)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(6)
     val mode = sys.env.getOrElse("SPARK_GRAFT_PIP_MODE", "expr")
     val nLow = sys.env.get("SPARK_GRAFT_SCALE_N").map(_.toInt).getOrElse(4)

@@ -338,6 +338,13 @@ object SparkEntry {
       val polys = s.createDataset(
         (fzkFootprints ++ cjFootprints).filter(_.feature_type == "Building"))
       PipJoin.broadcastJoin(pts, polys).select("image_id", "feature_id", "x", "y")
+    }),
+    "g5_image_neardup" -> ((s, dir) => {
+      // perceptual near-dup over the binary image payload: planted png/jpeg
+      // re-encode pairs, recovered via dHash pigeonhole banding (deterministic
+      // fixture — result is exactly one pair per source image)
+      graft.operators.Dedup.imageNearDup(ImageGen.blockTable(s, 800), maxHamming = 10)
+        .orderBy("doc_a", "doc_b")
     })
   )
 

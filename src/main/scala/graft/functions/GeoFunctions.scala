@@ -22,6 +22,8 @@ object GeoFunctions {
     org.apache.spark.sql.graft.GeoFunctionsImpl.z_cell_y(cell)
   def tile_cover(env: Column, z: Column): Column =
     org.apache.spark.sql.graft.GeoFunctionsImpl.tile_cover(env, z)
+  def hex_ring(x: Column, y: Column, res: Column, r: Column): Column =
+    org.apache.spark.sql.graft.GeoFunctionsImpl.hex_ring(x, y, res, r)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graft.GeoFunctionsImpl.register(spark)
 }

@@ -150,21 +150,40 @@ object Dedup {
    * are an equi-join on (chunk_index, chunk_value); verify = bit_count(xor).
    */
   def simhashPairs(sigs: DataFrame, idCol: String = "doc_id",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, sigCol: String = "simhash"): DataFrame = {
     val chunks = maxHamming + 1
     val bits = 64 / chunks
-    val chunked = sigs.select(col(idCol).as("id"), col("simhash"),
+    // disjoint chunks suffice for the pigeonhole guarantee even when
+    // chunks*bits < 64: ≤ maxHamming differing bits cannot touch all
+    // maxHamming+1 chunks, so some chunk is equal; verify counts all 64 bits
+    val chunked = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * bits)
+        shiftrightunsigned(col(sigCol), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "cv")))
-    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "cv"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /**
+   * Image near-duplicate pairs by perceptual dHash Hamming distance — the
+   * multimodal twin of [[simhashPairs]] over the input_hint image payload:
+   * decode → 9x8 luminance dHash once per image (bounded mapPartitions
+   * batches, NOT per candidate pair), then the same pigeonhole-banded
+   * self-join + exact bit_count verify. At 10^12 images the decode pass is
+   * embarrassingly parallel and the join shuffles 64-bit signatures, never
+   * pixels.
+   */
+  def imageNearDup(imgs: DataFrame, idCol: String = "image_id",
+                   maxHamming: Int = 6): DataFrame = {
+    val sigs = graft.functions.ImageFunctions.extractFeatures(imgs)
+      .select(col("image_id").as(idCol), col("dhash"))
+    simhashPairs(sigs, idCol, maxHamming, sigCol = "dhash")
   }
 
   /**

@@ -81,11 +81,8 @@ object KnnJoin {
     var acc: DataFrame = null
     var r = 0
     while (r <= maxR && !pending.isEmpty) {
-      val ringUdf = udf((x: Double, y: Double) => {
-        val c0 = HexGrid.encode(x, y, res)
-        if (r == 0) Array(c0) else HexGrid.ring(c0, r)
-      })
-      val cand = pending.withColumn("pcell", explode(ringUdf(col("x"), col("y"))))
+      val cand = pending.withColumn("pcell", explode(
+          graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(r))))
         .join(t, col("pcell") === col("tcell"))
         .select(col("probe_id"), col("x"), col("y"), col("target_id"),
           ((col("cx") - col("x")) * (col("cx") - col("x")) +

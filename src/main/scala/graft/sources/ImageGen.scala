@@ -157,6 +157,49 @@ object ImageGen {
     spark.range(0, n, 1, partitions).map(i => row(i))
   }
 
+  /**
+   * Strong-contrast 36x32 block image (9x8 grid of 4px blocks, one block per
+   * dHash cell) whose perceptual signature is determined by keyed bits —
+   * the planted-near-duplicate fixture for [[graft.operators.Dedup.imageNearDup]].
+   * `variant = true` re-encodes the SAME pixels as JPEG (lossy), so
+   * (i, original-png) and (i, variant-jpeg) are near-duplicates by
+   * construction while distinct i differ in ~32 of 64 dHash bits.
+   * (The gradient images from [[row]] share one global luminance ramp, so
+   * their dHashes are all near-equal — useless as a near-dup fixture.)
+   */
+  def blockImage(i: Long, variant: Boolean): Array[Byte] = {
+    val bi = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val key = Hashing.mix64(0xB10CL ^ (i * 72 + by * 9 + bx))
+        val base = if ((key & 1L) == 1L) 210 else 40
+        val v = base + ((key >>> 8) % 30).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var py = by * 4
+        while (py < by * 4 + 4) {
+          var px = bx * 4
+          while (px < bx * 4 + 4) { bi.setRGB(px, py, rgb); px += 1 }
+          py += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    encode(bi, if (variant) "jpeg" else "png")
+  }
+
+  /** n planted near-duplicate image pairs: ids blk_<i>_o (png) / blk_<i>_v (jpeg). */
+  def blockTable(spark: SparkSession, n: Long, partitions: Int = 8) = {
+    import spark.implicits._
+    ImageIO.setUseCache(false)
+    spark.range(0, n, 1, partitions).flatMap { i =>
+      Seq((f"blk_$i%06d_o", blockImage(i, variant = false)),
+          (f"blk_$i%06d_v", blockImage(i, variant = true)))
+    }.toDF("image_id", "bytes")
+  }
+
   /** Geotag-only variant (no pixel rendering) for join-throughput benchmarks. */
   def points(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[(String, Double, Double)] = {
     import spark.implicits._

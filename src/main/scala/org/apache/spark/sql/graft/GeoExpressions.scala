@@ -271,6 +271,38 @@ case class ZCellYExpr(child: Expression) extends UnaryExpression with ExpectsInp
   override def prettyName: String = "z_cell_y"
 }
 
+/**
+ * Hex cells at exactly ring-distance r from the cell of (x, y) — the
+ * per-round candidate generator of the distributed kNN ring join
+ * (generator-style: explode the result). Codegen'd static call; replaces a
+ * Scala UDF that would break the probe side's codegen span.
+ */
+case class HexRingExpr(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, IntegerType, IntegerType)
+  override def nullSafeEval(x: Any, y: Any, res: Any, r: Any): Any =
+    HexRingExpr.eval(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      res.asInstanceOf[Int], r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, res, r) =>
+      s"org.apache.spark.sql.graft.HexRingExpr.eval($x, $y, $res, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "hex_ring"
+}
+
+object HexRingExpr {
+  def eval(x: Double, y: Double, res: Int, r: Int): ArrayData = {
+    val c0 = HexGrid.encode(x, y, res)
+    val cells = if (r == 0) Array(c0) else HexGrid.ring(c0, r)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+}
+
 /** Hex cells covering the polygon ring (generator-style: explode the result). */
 case class HexCoverExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
@@ -318,6 +350,8 @@ object GeoFunctionsImpl {
     column(PipMatchesExpr(expression(x), expression(y), index))
   def knn_matches(x: Column, y: Column, index: graft.operators.KnnIndex): Column =
     column(KnnMatchesExpr(expression(x), expression(y), index))
+  def hex_ring(x: Column, y: Column, res: Column, r: Column): Column =
+    column(HexRingExpr(expression(x), expression(y), expression(res), expression(r)))
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -328,6 +362,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
   }

@@ -152,6 +152,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(vals("2,5")._3.contains(2.5))
   }
 
+  test("image near-dup: banded dHash pairs == brute force; planted png/jpeg pairs recovered") {
+    import spark.implicits._
+    val imgs = graft.sources.ImageGen.blockTable(spark, 40)
+    val got = Dedup.imageNearDup(imgs, maxHamming = 10)
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    // completeness oracle: driver-side popcount over the collected signatures
+    val sigs = graft.functions.ImageFunctions.extractFeatures(imgs)
+      .select("image_id", "dhash").as[(String, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    // every planted (png original, jpeg re-encode) pair is within threshold
+    (0 until 40).foreach { i =>
+      assert(got.contains((f"blk_$i%06d_o", f"blk_$i%06d_v")), s"missing planted pair $i")
+    }
+    // distinct source images never collide (fixture has ~32-bit expected distance)
+    assert(got.size === 40)
+  }
+
   test("embedding near-dup: planted duplicate vectors found") {
     val base = embs.limit(40).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()

@@ -52,6 +52,24 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private lazy val benchPolys = graft.Bench.benchPolygons
 
+  test("full image+caption table: PIP join scan prunes to (image_id, x, y)") {
+    // input_hint schema has a binary payload column; the join must never
+    // read it — at 100 TB the payload IS the table, the join keys are ~1%
+    val dir = "target/tmp/plan_full_imgs"
+    graft.sources.ImageGen.table(spark, 500, 4).write.mode("overwrite").parquet(dir)
+    val q = PipJoin.exprJoin(spark.read.parquet(dir), benchPolys)
+      .select("image_id", "feature_id")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(readSchema.contains("image_id") && readSchema.contains("x:double"),
+      s"join keys missing from scan:\n$readSchema")
+    assert(!readSchema.contains("bytes") && !readSchema.contains("caption") &&
+      !readSchema.contains("phash"),
+      s"payload columns must be pruned from the scan:\n$readSchema")
+  }
+
   test("codegen kNN path: no join, no shuffle, knn_matches in a codegen span") {
     val dir = "target/tmp/plan_knn_pts"
     (0 until 1000).map(i => (s"p$i", 457842.0 + i % 12, 5439083.0 + i % 10))
