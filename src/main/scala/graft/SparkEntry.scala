@@ -270,6 +270,17 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
     }),
 
+    "q30_distinct_agg" -> ((s, dir) => {
+      // distinct aggregates (Expand-based plan) + conditional count per nation
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(countDistinct("c_custkey").as("n_cust"),
+          countDistinct("o_orderpriority").as("n_prio"),
+          count(when(col("o_totalprice") > 100000.0, 1)).as("big_orders"))
+    }),
+
     // ---- event-time windowing (batch shape of the streaming op) ----
     "q31_rollup" -> ((s, dir) => {
       // hierarchical census with subtotals (beyond the reference's flat census)
@@ -536,6 +547,14 @@ object SparkEntry {
                                ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
                                 CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
          FROM documents""",
+    "q30_distinct_agg" ->
+      """SELECT n_name,
+                count(DISTINCT c_custkey) AS n_cust,
+                count(DISTINCT o_orderpriority) AS n_prio,
+                count(CASE WHEN o_totalprice > 100000.0 THEN 1 END) AS big_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
     "q31_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",

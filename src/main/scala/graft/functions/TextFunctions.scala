@@ -26,10 +26,17 @@ object TextFunctions {
 
   /**
    * Heuristic language ID: CJK-character ratio decides zh; otherwise the
-   * language whose stopword profile scores highest (ties → 'und').
-   * Pure column expressions — codegen'd over the 100 TB scan.
+   * language whose stopword profile scores highest (no hits → 'und').
+   * Native single-pass codegen kernel ([[org.apache.spark.sql.graft
+   * .LangIdKernel]]); [[langIdDeclarative]] is the equivalent pure-column
+   * formulation it replaces (regexp + 40 array_contains scans re-walked the
+   * text ~41x per row) — kept as the semantics oracle in tests.
    */
-  def langId(textCol: Column): Column = {
+  def langId(textCol: Column): Column =
+    org.apache.spark.sql.graft.TextFunctionsImpl.lang_id(textCol)
+
+  /** Declarative reference formulation of [[langId]] (see its scaladoc). */
+  def langIdDeclarative(textCol: Column): Column = {
     val toks = split(lower(textCol), "\\s+")
     val cjk = length(regexp_replace(textCol, "[^\\u4e00-\\u9fff]", "")).cast("double") /
       greatest(length(textCol).cast("double"), lit(1.0))

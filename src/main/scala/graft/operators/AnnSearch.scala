@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (`array<float>`).
  *
  * Baseline: brute-force cosine top-k — probes broadcast against the full
- * table, dot products computed with `zip_with`/`aggregate` (built-in
- * higher-order functions; no UDF, stays codegen-compatible).
+ * table. Dot/cosine are native codegen expressions ([[org.apache.spark.sql
+ * .graft.VecKernels]]): the higher-order-function formulation
+ * (`aggregate(zip_with(...))`) is CodegenFallback, interpreted per element
+ * with boxing — it dominated the scoring scan. Summation order is identical
+ * to the left-fold HOF, so results (and the DuckDB oracles) are unchanged
+ * bit-for-bit.
  *
  * Scale path: LSH-bucketed search — random-hyperplane sign bits bucket the
  * table; probes only score their own bucket (+ optionally multiprobe
@@ -17,20 +21,15 @@ import org.apache.spark.sql.functions._
  */
 object AnnSearch {
 
-  /** Σ aᵢ·bᵢ as double (element-wise cast BEFORE multiply for stable precision). */
+  /** Σ aᵢ·bᵢ as double (element-wise widening BEFORE multiply). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VecFunctionsImpl.vec_dot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt(org.apache.spark.sql.graft.VecFunctionsImpl.vec_dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VecFunctionsImpl.vec_cosine(a, b)
 
   /**
    * Brute-force cosine top-k: every probe scores every row.

@@ -76,6 +76,21 @@ object EventStream {
     graft.operators.PipJoin.exprJoin(stream, polys)
   }
 
+  /**
+   * Streaming kNN enrichment: each micro-batch row gets its k nearest
+   * city-object centroids via the `knn_matches` expression — like
+   * [[pipEnrich]], stateless and map-only, so the streaming plan is the
+   * batch plan (no state store, no shuffle, same codegen span).
+   */
+  def knnEnrich(spark: SparkSession, pointsDir: String,
+                targets: Seq[(String, Double, Double)], k: Int = 3): DataFrame = {
+    val schema = new StructType()
+      .add("probe_id", StringType).add("x", DoubleType).add("y", DoubleType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(pointsDir)
+    graft.operators.KnnJoin.broadcastGrid(stream, targets, k)
+  }
+
   /** Replay a batch parquet dir through the streaming graph into memory sink. */
   def replayWindowed(spark: SparkSession, path: String, queryName: String): DataFrame = {
     val q = windowedCounts(spark, path).writeStream

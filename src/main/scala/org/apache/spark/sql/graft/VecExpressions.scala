@@ -1,0 +1,109 @@
+/*
+ * Lives under org.apache.spark.sql.* for the same reason as GeoExpressions:
+ * Catalyst's extension surface is private[sql] in Spark 4.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native codegen vector kernels for the embedding operators (ANN search,
+ * near-dup verify). The higher-order-function formulation
+ * (`aggregate(zip_with(...))`) is CodegenFallback — interpreted per ELEMENT
+ * with boxing, which dominated the ANN scan (same lesson as the shingle
+ * path). These evaluate straight over ArrayData in one JIT-compiled loop.
+ *
+ * Summation order (ascending index, products then adds, separate sqrt per
+ * norm) exactly matches the left-fold HOF semantics, so results are
+ * bit-identical — the DuckDB oracles keep matching.
+ *
+ * Element types may be float or double per side (embeddings are
+ * array<float>, hyperplane literals array<double>); the dispatch booleans
+ * are compile-time constants in the generated code.
+ */
+object VecKernels {
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, i, aF) * get(b, i, bF); i += 1 }
+    s
+  }
+
+  def norm2(a: ArrayData, aF: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = get(a, i, aF); s += v * v; i += 1 }
+    s
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val d = dot(a, b, aF, bF)
+    val n = math.sqrt(norm2(a, aF)) * math.sqrt(norm2(b, bF))
+    if (n == 0.0) 0.0 else d / n
+  }
+}
+
+// deliberately NOT ExpectsInputTypes: declaring array<double> inputTypes
+// would make ImplicitTypeCasts wrap array<float> children in a Cast that
+// re-allocates the whole array per row — the custom check below accepts
+// either element type and the kernels read it in place
+sealed trait VecBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // accept array<float> or array<double> on either side without a cast
+  // (a Cast of the whole array would re-allocate it per row)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+}
+
+/** dot(a, b) — ascending-index multiply-add, HOF-left-fold-identical. */
+case class DotExpr(left: Expression, right: Expression) extends VecBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.VecKernels.dot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** cosine(a, b) with the 0-norm guard of the original HOF formulation. */
+case class CosineExpr(left: Expression, right: Expression) extends VecBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.VecKernels.cosine($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
+}
+
+object VecFunctionsImpl {
+  import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+  def vec_dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
+  def vec_cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
+}

@@ -187,6 +187,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(wantPairs.subsetOf(got), s"missing ${wantPairs.diff(got).size} planted near-dup pairs")
   }
 
+  test("langId kernel == declarative column formulation on the full documents table") {
+    import spark.implicits._
+    val both = docs.select(
+      graft.functions.TextFunctions.langId(col("text")).as("fast"),
+      graft.functions.TextFunctions.langIdDeclarative(col("text")).as("ref"))
+    assert(both.where(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("langId: detects crafted multilingual docs; token/quality/fingerprint stats") {
     val fixture = Seq(
       (1L, "the cat is in the house and it is warm with food for winter"),

@@ -58,6 +58,25 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming kNN enrichment == brute force (knn_matches in a micro-batch stream)") {
+    val targets = (0 until 60).map { i =>
+      (f"t$i%03d", 457800.0 + (i % 10) * 20.0, 5439000.0 + (i / 10) * 18.0)
+    }
+    val pts = (0L until 2000L).map { i =>
+      val (x, y) = graft.sources.ImageGen.geotag(i); (f"p_$i%06d", x, y)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("knn_stream").toString
+    pts.toDF("probe_id", "x", "y").repartition(4).write.mode("overwrite").parquet(dir)
+    val q = EventStream.knnEnrich(spark, dir, targets, k = 3).writeStream
+      .format("memory").queryName("knn_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("knn_stream")
+      .as[(String, String, Double, Int)].collect().toSet
+    val want = graft.operators.KnnJoin.bruteForce(pts, targets, 3).toSet
+    assert(got === want)
+  }
+
   test("stateful streaming sessionization == batch q25 sessions") {
     val stream = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", 1)
