@@ -60,10 +60,14 @@ object AnnSearch {
       posexplode(Dedup.lshBuckets(col(vecCol), dim, planes, bands)).as(Seq("band", "bucket")))
     val p = probes.select(col("probe_id"), col("pvec"),
       posexplode(Dedup.lshBuckets(col("pvec"), dim, planes, bands)).as(Seq("band", "bucket")))
+    // score map-side BEFORE deduplicating band collisions: the dedup then
+    // shuffles (probe_id, id, cos) scalars instead of two 64-float vectors
+    // (~50x less shuffle volume), with map-side partial agg on top; the cos
+    // of a duplicate pair is identical, so max() == any()
     val scored = t.join(broadcast(p), Seq("band", "bucket"))
-      .select(col("probe_id"), col("pvec"), col(idCol), col(vecCol)).distinct()
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
-      .select(col("probe_id"), col(idCol), col("cos"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
