@@ -270,6 +270,20 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
     }),
 
+    "q33_asof" -> ((s, dir) => {
+      // as-of enrichment: each click gets the user's most recent view at or
+      // before it (single-shuffle sorted-sweep operator; Spark has no native
+      // as-of join). Right side pre-aggregated per (user, ts) for determinism.
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"), "ts",
+          rightPrefix = "view_")
+        .select("click_id", "user_id", "ts", "view_ts", "view_value")
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -547,6 +561,14 @@ object SparkEntry {
                                ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
                                 CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
          FROM documents""",
+    "q33_asof" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT click_id, c.user_id AS user_id, c.ts AS ts, view_ts, view_value
+         FROM clicks c ASOF JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.view_ts""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
