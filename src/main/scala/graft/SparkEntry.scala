@@ -270,6 +270,19 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
     }),
 
+    "q34_range_frame" -> ((s, dir) => {
+      // rolling 1-hour sum per user via a RANGE frame (peer rows by value, so
+      // deterministic under ties); cents-integer arithmetic for exactness
+      val w = Window.partitionBy("user_id").orderBy(col("epoch"))
+        .rangeBetween(-3600L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("roll_cents", sum("cents").over(w))
+        .select("event_id", "user_id", "roll_cents")
+    }),
+
     "q33_asof" -> ((s, dir) => {
       // as-of enrichment: each click gets the user's most recent view at or
       // before it (single-shuffle sorted-sweep operator; Spark has no native
@@ -561,6 +574,12 @@ object SparkEntry {
                                ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
                                 CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
          FROM documents""",
+    "q34_range_frame" ->
+      """SELECT event_id, user_id,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+         FROM events""",
     "q33_asof" ->
       """WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
                          WHERE event_type = 'click'),

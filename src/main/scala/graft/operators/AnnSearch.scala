@@ -54,12 +54,22 @@ object AnnSearch {
    */
   def lshTopK(table: DataFrame, probes: DataFrame, k: Int,
               dim: Int = 64, planes: Int = 8, bands: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              multiprobe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = table.select(col(idCol), col(vecCol),
       posexplode(Dedup.lshBuckets(col(vecCol), dim, planes, bands)).as(Seq("band", "bucket")))
-    val p = probes.select(col("probe_id"), col("pvec"),
+    val p0 = probes.select(col("probe_id"), col("pvec"),
       posexplode(Dedup.lshBuckets(col("pvec"), dim, planes, bands)).as(Seq("band", "bucket")))
+    // multiprobe: also visit every bucket at Hamming distance 1 in each band
+    // (one sign bit flipped) — candidates x(planes+1) on the PROBE side only
+    // (the table stays single-bucketed, so the 10^12-row side is untouched);
+    // recall rises because a near neighbour differing in one hyperplane sign
+    // still collides. Standard multiprobe LSH (Lv et al., VLDB'07) shape.
+    val p = if (!multiprobe) p0
+      else p0.withColumn("bucket",
+        explode(array((col("bucket") +: (0 until planes).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b)))): _*)))
     // score map-side BEFORE deduplicating band collisions: the dedup then
     // shuffles (probe_id, id, cos) scalars instead of two 64-float vectors
     // (~50x less shuffle volume), with map-side partial agg on top; the cos

@@ -110,6 +110,15 @@ class DedupAnnSpec extends AnyFunSuite {
     val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
     val recall = want.count(got.contains).toDouble / want.size
     assert(recall >= 0.6, s"recall=$recall")
+    // multiprobe (flip each sign bit once, probe side only) strictly widens
+    // the candidate set -> recall must not drop, and on this worst-case
+    // fixture it should clearly improve
+    val gotMp = AnnSearch.lshTopK(embs, probes, k = 5, dim = 64, planes = 4, bands = 12,
+        multiprobe = true)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallMp = want.count(gotMp.contains).toDouble / want.size
+    assert(recallMp >= recall, s"multiprobe recall=$recallMp < single recall=$recall")
+    assert(recallMp >= 0.8, s"multiprobe recall=$recallMp")
   }
 
   test("IVF ANN top-k: recall@5 >= 0.5 at nprobe/nlist = 1/4 cost") {
