@@ -529,8 +529,8 @@ object SparkEntry {
          sh AS (
            SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
            FROM toks WHERE len(w) >= 3)
-         SELECT doc_id, min(md5(s || '_1')) AS m1, min(md5(s || '_2')) AS m2,
-                min(md5(s || '_3')) AS m3, min(md5(s || '_4')) AS m4
+         SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
+                min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" ->
       """WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
@@ -539,8 +539,8 @@ object SparkEntry {
            SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
            FROM toks WHERE len(w) >= 3),
          sig AS (
-           SELECT doc_id, min(md5(s || '_1')) AS m1, min(md5(s || '_2')) AS m2,
-                  min(md5(s || '_3')) AS m3, min(md5(s || '_4')) AS m4
+           SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
+                  min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
            FROM sh GROUP BY 1),
          bk AS (
            SELECT doc_id, 0 AS band, m1 AS bucket FROM sig

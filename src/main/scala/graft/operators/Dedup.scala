@@ -34,10 +34,13 @@ object Dedup {
    * operator expressible in ANSI SQL (DuckDB-oracle-checkable) while having
    * the same collision semantics as integer MinHash.
    */
+  // one md5 per shingle; perm p = 8-hex-char slice (p-1)*8+1..8 of the digest
+  // (4x less hashing than md5(s || "_p") per perm; slices of one digest are
+  // as independent as suffixed digests for banding — recall property-tested)
   def minhashSig(sh: Column, perms: Int): Seq[Column] =
     (1 to perms).map { p =>
-      array_min(transform(sh, s => md5(concat(s, lit(s"_$p")).cast("binary"))))
-        .as(s"m$p")
+      array_min(transform(sh, s =>
+        substring(md5(s.cast("binary")), (p - 1) * 8 + 1, 8))).as(s"m$p")
     }
 
   /** doc_id + MinHash signature (one row per doc). */
@@ -64,24 +67,19 @@ object Dedup {
     // the DuckDB oracle applies the identical cap, so row parity holds).
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-    // Build shingles as ROWS with window lead() instead of higher-order
-    // transform(): HOF lambdas are interpreted (CodegenFallback) per element
-    // — measured ~10x slower on wide documents. posexplode + lead keeps the
-    // whole path inside codegen; the window shuffle keys on (id) which is
-    // the same partitioning the minhash groupBy needs anyway.
-    val wPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-    val leadCols = (1 until ngram).map(j => lead("tok", j).over(wPos).as(s"t$j"))
-    val exploded = docs
-      .select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(Seq(col("id"), col("tok")) ++ leadCols: _*)
-      .where((1 until ngram).map(j => col(s"t$j").isNotNull).reduce(_ && _))
-      .select(col("id"), concat_ws(" ",
-        col("tok") +: (1 until ngram).map(j => col(s"t$j")): _*).as("s"))
-    val hashes = exploded.select(col("id"),
-      posexplode(array((1 to perms).map(p =>
-        md5(concat(col("s"), lit(s"_$p")).cast("binary"))): _*)).as(Seq("band", "h")))
+    // Build shingles with the one-pass codegen kernel (shingle_make): tokens
+    // are adjacent in the source string, so rebuilding adjacency with
+    // posexplode + window lead() shuffled and sorted every TOKEN row for
+    // nothing; HOF transform() would interpret per element. One generator
+    // expression, zero shuffles before the minhash groupBy.
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
+        col(textCol), lit(ngram))).as("s"))
+    val hashes = exploded
+      .select(col("id"), md5(col("s").cast("binary")).as("h0")) // ONE digest per shingle
+      .select(col("id"),
+        posexplode(array((1 to perms).map(p =>
+          substring(col("h0"), (p - 1) * 8 + 1, 8)): _*)).as(Seq("band", "h")))
     val buckets0 = hashes.groupBy("id", "band").agg(min("h").as("bucket"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     val buckets = buckets0

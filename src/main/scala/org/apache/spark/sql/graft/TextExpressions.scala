@@ -87,6 +87,48 @@ object LangIdKernel {
   }
 }
 
+/**
+ * One-pass sliding n-gram shingles: lower → split(" ") → join n consecutive
+ * tokens with spaces, all in a single JIT loop per row. Replaces the
+ * posexplode + window-lead formulation, whose per-(doc) sort shuffled every
+ * TOKEN row just to rebuild adjacency the source string already had.
+ * String semantics identical to
+ * `w[i] || ' ' || w[i+1] ... ` over `split(lower(text), ' ')` (single-space
+ * split, empty tokens kept) — the DuckDB oracle replays exactly that.
+ */
+object ShingleKernel {
+  def eval(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** shingle_make(text, n) — generator-style, explode the result. */
+case class ShingleMakeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    ShingleKernel.eval(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"org.apache.spark.sql.graft.ShingleKernel.eval($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "shingle_make"
+}
+
 /** lang_id(text) — codegen'd static call into [[LangIdKernel]]. */
 case class LangIdExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
@@ -102,4 +144,6 @@ case class LangIdExpr(child: Expression) extends UnaryExpression with ExpectsInp
 object TextFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
+  def shingle_make(text: Column, n: Column): Column =
+    column(ShingleMakeExpr(expression(text), expression(n)))
 }
