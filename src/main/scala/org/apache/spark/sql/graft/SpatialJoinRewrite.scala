@@ -23,7 +23,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
-object SpatialJoinRewrite extends Rule[LogicalPlan] {
+object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val Res = 11 // hex resolution of the prejoin key (≈25 m edge)
 
@@ -48,13 +48,16 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  /** Find a PipCoversExpr whose ring/holes come from one side and x/y from the
-    * other; returns it plus whether the point side is the left input. */
+  /** Find a PipCoversExpr that is itself one of the top-level conjuncts of the
+    * join condition (never one buried under OR/NOT/CASE, where conjoining the
+    * cell equi-join would drop rows satisfying only the other branch), whose
+    * ring/holes come from one side and x/y from the other; returns it plus
+    * whether the point side is the left input. */
   private def splitCovers(cond: Expression, left: LogicalPlan,
                           right: LogicalPlan): Option[(PipCoversExpr, Boolean)] = {
     val lset = left.outputSet
     val rset = right.outputSet
-    cond.collectFirst {
+    splitConjunctivePredicates(cond).collectFirst {
       case p: PipCoversExpr
           if p.first.references.subsetOf(rset) && p.second.references.subsetOf(rset) &&
              p.third.references.subsetOf(lset) && p.fourth.references.subsetOf(lset) =>

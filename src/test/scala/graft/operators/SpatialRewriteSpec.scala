@@ -67,6 +67,40 @@ class SpatialRewriteSpec extends AnyFunSuite {
     assert(got === PipJoin.bruteForce(points, fps))
   }
 
+  test("st_covers under OR is NOT rewritten and keeps rows from the other disjunct") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    val pts = points.toDF("image_id", "x", "y")
+    val polys = spark.createDataset(fps).select("feature_id", "ring", "holes")
+    // every pair satisfies the second disjunct for image ids ending in "7";
+    // conjoining the cell equi-join onto the whole condition would drop them
+    val q = pts.crossJoin(polys)
+      .where(GeoFunctions.st_covers(col("ring"), col("holes"), col("x"), col("y"))
+        || col("image_id").endsWith("7"))
+      .select("image_id", "feature_id")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("hex_encode"),
+      "a PipCoversExpr under OR must not trigger the conjunctive rewrite")
+    val got = q.as[(String, String)].collect().toSet
+    val pip = PipJoin.bruteForce(points, fps)
+    val byOther = for {
+      (id, _, _) <- points.toSet if id.endsWith("7"); f <- fps
+    } yield (id, f.feature_id)
+    assert(got === (pip ++ byOther))
+  }
+
+  test("st_covers as one of several AND conjuncts still rewrites") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    val pts = points.toDF("image_id", "x", "y")
+    val polys = spark.createDataset(fps).select("feature_id", "ring", "holes")
+    val q = pts.crossJoin(polys)
+      .where(GeoFunctions.st_covers(col("ring"), col("holes"), col("x"), col("y"))
+        && col("image_id").endsWith("0"))
+      .select("image_id", "feature_id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("hex_encode"),
+      "a top-level AND conjunct must still trigger the rewrite")
+    val got = q.as[(String, String)].collect().toSet
+    assert(got === PipJoin.bruteForce(points, fps).filter(_._1.endsWith("0")))
+  }
+
   test("rewrite leaves non-spatial joins untouched") {
     org.apache.spark.sql.graft.GraftExtensions.enable(spark)
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
