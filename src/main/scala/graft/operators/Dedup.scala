@@ -37,11 +37,14 @@ object Dedup {
   // one md5 per shingle; perm p = 8-hex-char slice (p-1)*8+1..8 of the digest
   // (4x less hashing than md5(s || "_p") per perm; slices of one digest are
   // as independent as suffixed digests for banding — recall property-tested)
-  def minhashSig(sh: Column, perms: Int): Seq[Column] =
+  def minhashSig(sh: Column, perms: Int): Seq[Column] = {
+    require(perms >= 1 && perms <= 4,
+      s"perms must be 1..4 (a 32-hex md5 digest yields 4 8-char slices; got $perms)")
     (1 to perms).map { p =>
       array_min(transform(sh, s =>
         substring(md5(s.cast("binary")), (p - 1) * 8 + 1, 8))).as(s"m$p")
     }
+  }
 
   /** doc_id + MinHash signature (one row per doc). */
   def minhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -58,6 +61,8 @@ object Dedup {
   def lshPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                perms: Int = 4, ngram: Int = 3, minJaccard: Double = 0.5,
                maxBucket: Int = 100): DataFrame = {
+    require(perms >= 1 && perms <= 4,
+      s"perms must be 1..4 (a 32-hex md5 digest yields 4 8-char slices; got $perms)")
     // 1) narrow band join on ids only (token arrays would bloat the shuffle
     //    and the distinct), 2) dedup candidate id pairs, 3) re-attach token
     //    sets with two broadcast-friendly joins, 4) exact-Jaccard verify.
@@ -192,13 +197,21 @@ object Dedup {
   def embeddingNearDup(embs: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", dim: Int = 64,
                        planes: Int = 8, bands: Int = 4, minCosine: Double = 0.95): DataFrame = {
-    val withB = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Same narrow shape as [[lshPairs]]: the band self-join and the candidate
+    // distinct carry ids ONLY (the previous version dragged both 64-float
+    // vectors through the distinct shuffle — pairs × vector width of shuffle
+    // volume); vectors are re-attached per distinct pair with two equi-joins,
+    // then verified with exact cosine.
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withB = embs.select(col(idCol).as("id"),
         posexplode(lshBuckets(col(vecCol), dim, planes, bands)).as(Seq("band", "bucket")))
-    val a = withB.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val a = withB.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = withB.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", AnnSearch.cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
  *    re-run is idempotent and the final table is byte-stable;
  *  - checksum = Σ (as decimal, overflow-free) of xxhash64 over all columns —
  *    order-independent, so it is stable under shuffle/parallelism changes;
- *  - lineage is collected with `observe()` DURING the write job (single scan
- *    per partition); `verifyLineage` recomputes it independently for audit.
+ *  - lineage comes from ONE grouped aggregation over the freshly staged
+ *    files (all pending partitions staged in a single distributed write);
+ *    `verifyLineage` recomputes it independently for audit.
  *
  * Metadata I/O is driver-side JSON (tiny); data I/O is ordinary distributed
  * parquet. At 100 TB the manifest holds O(#partitions) entries, not O(rows).
@@ -119,10 +120,30 @@ object IceLite {
     (row.getLong(0), Option(row.get(1)).map(_.toString).getOrElse("0"))
   }
 
+  /** Hive/Iceberg-style percent-escaping for partition values used in paths
+    * ('/', '..', ':' … would otherwise traverse outside the table dir or
+    * produce unreadable file names); the manifest stores the RAW value. */
+  def escapePart(v: String): String = {
+    val e = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+    // Hive escaping leaves "." / ".." / "" alone — as a final path segment
+    // those resolve to the table dir itself (traversal); encode the dots.
+    if (e.isEmpty) "%00" else if (e.forall(_ == '.')) e.replace(".", "%2E") else e
+  }
+
   /**
    * Resumable write: materialize only the partitions of `partCol` missing
-   * from the current snapshot; commit each batch with its lineage, then
+   * from the current snapshot; commit each partition with its lineage, then
    * atomically advance the snapshot pointer. Returns (written, skipped).
+   *
+   * Scale shape: ONE distributed write job stages every pending partition
+   * (`partitionBy` on a duplicate key column, so the data files keep
+   * `partCol` itself), ONE aggregation job over the staged output computes
+   * per-partition lineage, and the per-partition COMMIT loop is pure
+   * driver-side metadata (dir rename + manifest write). The previous design
+   * ran one write job + one full upstream scan per pending partition — O(P)
+   * scans of the input; this is O(1) scans regardless of partition count,
+   * while keeping the partition as the crash-tolerant commit unit (a crash
+   * mid-loop leaves a prefix committed; resume stages only the remainder).
    */
   def writeResumable(df: DataFrame, table: String, partCol: String): (Seq[String], Seq[String]) = {
     Files.createDirectories(metaDir(table))
@@ -133,25 +154,50 @@ object IceLite {
     val todo = all.filterNot(snap.committedSet.contains)
     if (todo.isEmpty) return (Seq.empty, skipped)
 
+    val origCols = df.columns.toSeq
+    val stage = s"$table/_icelite_stage"
+    val pending = if (skipped.isEmpty) df
+      else df.where(col(partCol).cast("string").isin(todo: _*))
+    // job 1: stage all pending partitions in one distributed write
+    pending.withColumn("__pk", col(partCol).cast("string"))
+      .write.mode("overwrite").partitionBy("__pk").parquet(stage)
+    // job 2: per-partition lineage in one aggregation over the staged files
+    // (reads back what was actually persisted — a stronger audit base than
+    // re-aggregating the upstream plan)
+    val stagedAll = df.sparkSession.read.parquet(stage)
+    val aggs = lineageAggs(stagedAll.select(origCols.map(col): _*))
+    val lineage = stagedAll
+      .groupBy(col(partCol).cast("string").as("__pv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("0")))
+      .toMap
+    // commit loop: driver-side only — move staged dir into place, advance
+    // the snapshot pointer once per partition (the crash-tolerant unit)
     var current = snap
     todo.foreach { pv =>
-      val part = df.where(col(partCol).cast("string") === pv)
-      val dataPath = s"$table/data/$pv"
-      // observe(): the lineage aggregates ride the write job itself — one
-      // scan per partition, not write + recount (at 100 TB the recount pass
-      // would double the read volume)
-      val obs = org.apache.spark.sql.Observation()
-      val aggs = lineageAggs(part)
-      part.observe(obs, aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(dataPath)
-      val m = obs.get
-      val rows = m("rows").asInstanceOf[Long]
-      val checksum = Option(m("checksum")).map(_.toString).getOrElse("0")
+      // the staged dir name uses Spark's partitionBy escaping; the final dir
+      // name uses escapePart (same + dot-only names encoded)
+      val from = Paths.get(stage, "__pk=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
+      val to = Paths.get(table, "data", escapePart(pv))
+      Files.createDirectories(to.getParent)
+      if (Files.exists(to)) deleteRecursive(to) // re-run after crash-before-commit
+      Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+      val (rows, checksum) = lineage(pv)
       current = Snapshot(current.version + 1,
         current.partitions :+ PartitionLineage(pv, rows, checksum))
       commitSnapshot(table, current)
     }
+    deleteRecursive(Paths.get(stage))
     (todo, skipped)
+  }
+
+  private def deleteRecursive(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursive(_))
+    Files.deleteIfExists(p)
   }
 
   /** Atomic snapshot advance: write vN.json, then rename a temp VERSION file. */
@@ -176,7 +222,7 @@ object IceLite {
   def verifyLineage(spark: SparkSession, table: String, partCol: String): Seq[(String, Boolean)] = {
     val snap = currentSnapshot(table)
     snap.partitions.map { p =>
-      val df = spark.read.parquet(s"$table/data/${p.partition}")
+      val df = spark.read.parquet(s"$table/data/${escapePart(p.partition)}")
       val (rows, cs) = lineageOf(df)
       p.partition -> (rows == p.rows && cs == p.checksum)
     }

@@ -81,6 +81,34 @@ class TileIceSpec extends AnyFunSuite {
     assert(a.toString === b.toString, "content checksum differs after resume")
   }
 
+  test("IceLite: path-hostile partition values are escaped, round-trip, and audit") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_esc").toString
+    val table = s"$dir/hostile"
+    val df = Seq(
+      ("a/b", 1L), ("a/b", 2L), ("..", 3L), ("x:y z", 4L), ("plain", 5L)
+    ).toDF("part", "v")
+    val (w, _) = IceLite.writeResumable(df, table, "part")
+    assert(w.toSet === Set("a/b", "..", "x:y z", "plain"))
+    // nothing escaped the table directory
+    val tableRoot = java.nio.file.Paths.get(table).toAbsolutePath.normalize
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+      assert(p.toAbsolutePath.normalize.startsWith(tableRoot.getParent),
+        s"file written outside the temp dir: $p")
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "b")),
+      "a/b must not create a nested raw directory")
+    // manifest keeps RAW values; read + audit still work
+    val snap = IceLite.currentSnapshot(table)
+    assert(snap.partitions.map(_.partition).toSet === w.toSet)
+    val audit = IceLite.verifyLineage(spark, table, "part")
+    assert(audit.nonEmpty && audit.forall(_._2), s"lineage mismatch: $audit")
+    val back = IceLite.read(spark, table)
+    assert(back.count() === 5)
+    // resume skips every hostile value
+    val (w2, s2) = IceLite.writeResumable(df, table, "part")
+    assert(w2.isEmpty && s2.toSet === w.toSet)
+  }
+
   test("IceLite: lineage checksum is order/parallelism independent") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val (r1, c1) = IceLite.lineageOf(df.repartition(16))
