@@ -60,50 +60,50 @@ object Main {
       querySql = Option(p.getProperty("query.sql")).map(_.trim).filter(_.nonEmpty))
   }
 
-  def ingest(cfg: RunConfig): (Seq[Footprint], Seq[HrefRef], Seq[IdRec]) = {
-    var partition = 0
-    val fps = Seq.newBuilder[Footprint]
-    val hrefs = Seq.newBuilder[HrefRef]
-    val ids = Seq.newBuilder[IdRec]
-    cfg.citygml.foreach { path =>
-      val doc =
-        if (Files.isDirectory(Paths.get(path))) CityGmlReader.parseDirectory(path)
-        else CityGmlReader.parseFile(path)
-      fps ++= CityGmlReader.toFootprints(doc, partition)
-      hrefs ++= CityGmlReader.toHrefs(doc, partition)
-      ids ++= CityGmlReader.toIds(doc, partition)
-      partition += 1
+  /** Per-file ingest tasks from the config: each config entry keeps one
+    * partition index; a directory entry expands to many files under it. */
+  def ingestTasks(cfg: RunConfig): Seq[DistributedIngest.IngestTask] = {
+    val gml = cfg.citygml.zipWithIndex.flatMap { case (p, i) =>
+      DistributedIngest.tasksFor(i, p, "citygml")
     }
-    cfg.cityjson.foreach { path =>
-      val doc = CityJsonReader.parseFile(path)
-      fps ++= CityJsonReader.toFootprints(doc, partition)
-      partition += 1
+    val json = cfg.cityjson.zipWithIndex.flatMap { case (p, i) =>
+      DistributedIngest.tasksFor(cfg.citygml.size + i, p, "cityjson")
     }
-    // P1/P2 config-driven projection: drop excluded attribute keys at ingest
-    val cleaned = fps.result().map(f => f.copy(attrs = f.attrs -- cfg.excludeAttrs))
-    (cleaned, hrefs.result(), ids.result())
+    gml ++ json
+  }
+
+  /** Distributed ingest: files parse inside Spark tasks (the driver only
+    * lists paths); P1/P2 attribute exclusion applied as a narrow map. */
+  def ingest(spark: SparkSession, cfg: RunConfig)
+      : (org.apache.spark.sql.Dataset[Footprint],
+         org.apache.spark.sql.Dataset[HrefRef],
+         org.apache.spark.sql.Dataset[IdRec]) = {
+    import spark.implicits._
+    val (fps0, hrefs, ids) = DistributedIngest.ingest(spark, ingestTasks(cfg))
+    val excl = cfg.excludeAttrs
+    val fps = if (excl.isEmpty) fps0 else fps0.map(f => f.copy(attrs = f.attrs -- excl))
+    (fps, hrefs, ids)
   }
 
   def runMap(spark: SparkSession, cfg: RunConfig): Unit = {
-    import spark.implicits._
-    val (fps, hrefs, ids) = ingest(cfg)
+    val (fpDs, hrefDs, idDs) = ingest(spark, cfg)
     val out = cfg.outputDir
     Files.createDirectories(Paths.get(out))
-    val fpDs = spark.createDataset(fps)
     // resumable footprint table with per-partition lineage (IceLite)
     IceLite.writeResumable(fpDs.toDF(), s"$out/footprints", "partition_id")
     // J1 XLink resolution + audit
-    if (hrefs.nonEmpty) {
-      val resolved = XLinkResolve.resolve(
-        spark.createDataset(hrefs).toDF(), spark.createDataset(ids).toDF())
+    if (hrefDs.head(1).nonEmpty) {
+      val resolved = XLinkResolve.resolve(hrefDs.toDF(), idDs.toDF())
       resolved.write.mode("overwrite").parquet(s"$out/xlinks")
       XLinkResolve.audit(resolved).write.mode("overwrite").parquet(s"$out/xlink_audit")
     }
-    // A2 census + S9 diagnostics
+    // A2 census + S9 diagnostics (PNG render is a bounded driver-side
+    // diagnostic over building rows only)
     Census.byType(fpDs).write.mode("overwrite").parquet(s"$out/census")
-    fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
-      PngSink.render(pfps.filter(_.feature_type == "Building"), s"$out/footprints_p$pid.png")
-    }
+    fpDs.filter(_.feature_type == "Building").collect()
+      .groupBy(_.partition_id).foreach { case (pid, pfps) =>
+        PngSink.render(pfps.toSeq, s"$out/footprints_p$pid.png")
+      }
   }
 
   def runExport(spark: SparkSession, cfg: RunConfig): Unit = {

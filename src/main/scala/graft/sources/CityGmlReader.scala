@@ -22,8 +22,10 @@ import graft.model._
  *    fzk_haus_lod2_v1.gml) for the J1 equi-join,
  *  - id records for every gml:id (join build side).
  *
- * Runs inside `mapPartitions` over a Dataset of file paths at scale — the
- * parse itself is per-file, embarrassingly parallel, shuffle-free.
+ * Runs inside `mapPartitions` over a Dataset of file paths at scale via
+ * [[DistributedIngest]] — the parse itself is per-file, embarrassingly
+ * parallel, shuffle-free. [[parseDirectory]] below is the driver-side
+ * convenience for tests/small inputs only.
  */
 object CityGmlReader {
 

@@ -53,6 +53,25 @@ class AppSpec extends AnyFunSuite {
     assert(doc.buildings.head.id === "UUID_d281adfc-4901-0f52-540b-4cc1a9325f82")
   }
 
+  test("distributed ingest: many-file directory parses across >1 Spark task") {
+    val dir = java.nio.file.Files.createTempDirectory("gmlmany")
+    (0 until 8).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(f"tile_$i%02d.gml"),
+        v3Doc.replace("V3_B1", f"V3_B$i%02d").replace("V3_G1", f"V3_G$i%02d")
+          .replace("V3_P1", f"V3_P$i%02d").getBytes("UTF-8"))
+    }
+    val tasks = graft.sources.DistributedIngest.tasksFor(0, dir.toString, "citygml")
+    assert(tasks.size === 8 && tasks.forall(_.partition_id == 0))
+    val (fps, _, ids) = graft.sources.DistributedIngest.ingest(spark, tasks)
+    // the parse stage fans out over the cluster, not the driver
+    assert(fps.rdd.getNumPartitions >= 2,
+      s"parse stage must have >1 task, got ${fps.rdd.getNumPartitions}")
+    val got = fps.filter(_.feature_type == "Building").collect()
+    assert(got.map(_.feature_id).toSet === (0 until 8).map(i => f"V3_B$i%02d").toSet)
+    assert(got.forall(_.partition_id == 0))
+    assert(ids.collect().map(_.id).toSet.size === 24) // 8 x (building+surface+poly)
+  }
+
   test("config app: map -> export -> query use cases end to end (go() dispatch)") {
     val out = java.nio.file.Files.createTempDirectory("app_out").toString
     val cfgFile = java.nio.file.Files.createTempFile("run", ".properties")
