@@ -233,32 +233,43 @@ object SparkEntry {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
     "q20_simhash" -> ((s, dir) => {
-      // bit-mixing not ANSI-expressible → rows-only here; exact semantics
-      // asserted vs brute force in DedupAnnSpec
+      // per-word hash = top 64 bits of md5(word) → the bit-vote is expressible
+      // in ANSI SQL (hex-digit extraction); exact semantics also asserted vs
+      // brute force in DedupAnnSpec
       graft.operators.Dedup.simhash(t(s, dir, "documents"))
     }),
     "q21_ann_topk" -> ((s, dir) => {
+      // exact brute-force cosine top-k (the ANN baseline path) — rank-only
+      // output so the oracle compares ordering, not double bit patterns; the
+      // approximate LSH/IVF paths are graded by recall against this in
+      // DedupAnnSpec
       val e = t(s, dir, "embeddings")
       val probes = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-      graft.operators.AnnSearch.lshTopK(e, probes, k = 5, planes = 4, bands = 12)
-        .select("probe_id", "vec_id", "cos", "rnk")
+      graft.operators.AnnSearch.bruteTopK(e, probes, k = 5)
+        .select("probe_id", "vec_id", "rnk")
     }),
     "q23_ann_ivf" -> ((s, dir) => {
+      // IVF-FLAT with the deterministic sampled quantizer (SQL-replicable →
+      // full DuckDB oracle); the k-means-refined ivfTopK is recall-tested
       val e = t(s, dir, "embeddings")
       val probes = e.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
-      graft.operators.AnnSearch.ivfTopK(e, probes, k = 5, nlist = 16, nprobe = 4)
-        .select("probe_id", "vec_id", "cos", "rnk")
+      graft.operators.AnnSearch.ivfFixedTopK(e, probes, k = 5, nlist = 16, nprobe = 4)
+        .select("probe_id", "vec_id", "rnk")
     }),
     "q22_embed_neardup" -> ((s, dir) => {
-      // plant deterministic near-duplicates (vec + 0.001 on dim 0), find them
+      // plant deterministic near-duplicates (vec + 0.001 on dim 0), find them;
+      // pairs-only output — the DuckDB oracle recomputes the FULL n² pair set
+      // at the threshold, so this also proves the banded LSH candidate
+      // generation loses nothing at this margin
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.where(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(slice(transform(col("embedding"), v => v + lit(0.001f)), 1, 1),
             slice(col("embedding"), 2, 1000)).as("embedding"))
       graft.operators.Dedup.embeddingNearDup(e.unionByName(planted), minCosine = 0.999)
+        .select("id_a", "id_b")
     }),
     "q26_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -386,7 +397,110 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB cosine mirroring VecKernels.cosine exactly: ascending-index
+    * double accumulation, separate sqrt per norm. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)]) /
+        (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) FOR i IN range(1, 65)])) *
+         sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)])))"""
+
+  /** DuckDB squared-L2 mirroring the IVF quantizer loop. */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+                  (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) FOR i IN range(1, 65)])"""
+
+  private def stopSql(toks: String, words: Seq[String]): String =
+    words.map(w => s"CASE WHEN list_contains($toks, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", s") / ${words.size}.0::DOUBLE")
+
   def oracleSql: Map[String, String] = Map(
+    "q20_simhash" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         h AS (SELECT doc_id, md5(word) AS hx FROM w WHERE word <> ''),
+         bits AS (
+           SELECT doc_id, bb.b AS b,
+                  CASE WHEN ((strpos('0123456789abcdef',
+                               substr(hx, CAST(16 - bb.b // 4 AS INT), 1)) - 1)
+                             >> CAST(bb.b %% 4 AS INT)) & 1 = 1
+                       THEN 1 ELSE -1 END AS v
+           FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb(b)),
+         c AS (SELECT doc_id, b, sum(v) AS cnt FROM bits GROUP BY 1, 2),
+         u AS (SELECT doc_id,
+                      sum(CASE WHEN cnt > 0 THEN CAST(power(2, CAST(b AS INT)) AS HUGEINT)
+                               ELSE 0 END) AS us
+               FROM c GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(CASE WHEN us >= 9223372036854775808 THEN us - 18446744073709551616
+                                   ELSE us END, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id""",
+    "q21_ann_topk" ->
+      s"""WITH probes AS (
+           SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id %% 50 = 0),
+         scored AS (
+           SELECT p.probe_id, e.vec_id, ${cosSql("e.embedding", "p.pvec")} AS cos
+           FROM embeddings e CROSS JOIN probes p)
+         SELECT probe_id, vec_id, rnk FROM (
+           SELECT probe_id, vec_id,
+                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 5""",
+    "q22_embed_neardup" ->
+      s"""WITH planted AS (
+           SELECT vec_id + 1000000 AS vec_id,
+                  [embedding[1] + 0.001::FLOAT] || embedding[2:] AS embedding
+           FROM embeddings WHERE vec_id %% 25 = 0),
+         allv AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id, embedding FROM planted)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.999::DOUBLE""",
+    "q23_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         ad AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cvec")} AS d2
+                FROM embeddings e CROSS JOIN cent c),
+         assigned AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           FROM ad) WHERE rn = 1),
+         probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings
+                    WHERE vec_id %% 50 = 0),
+         pd AS (SELECT p.probe_id, c.cid, ${l2Sql("p.pvec", "c.cvec")} AS d2
+                FROM probes p CROSS JOIN cent c),
+         plists AS (SELECT probe_id, cid FROM (
+           SELECT probe_id, cid, row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) AS rn
+           FROM pd) WHERE rn <= 4),
+         scored AS (
+           SELECT pl.probe_id, a.vec_id, ${cosSql("e.embedding", "p.pvec")} AS cos
+           FROM plists pl JOIN assigned a USING (cid)
+             JOIN embeddings e ON e.vec_id = a.vec_id
+             JOIN probes p ON p.probe_id = pl.probe_id)
+         SELECT probe_id, vec_id, rnk FROM (
+           SELECT probe_id, vec_id,
+                  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 5""",
+    "q27_langid" ->
+      s"""WITH t AS (
+           SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS toks,
+                  CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) /
+                    greatest(CAST(length(text) AS DOUBLE), 1.0::DOUBLE) AS cjk
+           FROM documents),
+         s AS (
+           SELECT lang, cjk,
+                  ${stopSql("toks", graft.functions.TextFunctions.stopwords("en"))} AS s_en,
+                  ${stopSql("toks", graft.functions.TextFunctions.stopwords("de"))} AS s_de,
+                  ${stopSql("toks", graft.functions.TextFunctions.stopwords("fr"))} AS s_fr,
+                  ${stopSql("toks", graft.functions.TextFunctions.stopwords("es"))} AS s_es
+           FROM t),
+         p AS (
+           SELECT lang,
+                  CASE WHEN cjk > 0.2::DOUBLE THEN 'zh'
+                       WHEN greatest(s_en, s_de, s_fr, s_es) > 0.0::DOUBLE THEN
+                         CASE WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                              ELSE 'de' END
+                       ELSE 'und' END AS lang_pred
+           FROM s)
+         SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY 1, 2""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 count(*) AS cnt, max(l_extendedprice) AS max_price

@@ -96,9 +96,11 @@ object AnnSearch {
     import org.apache.spark.sql.expressions.Window
     val spark = table.sparkSession
     import spark.implicits._
+    // bounded, deterministic fit sample: an id-range predicate pushes to the
+    // scan (the previous orderBy().limit() was a full TakeOrdered pass)
     val sample = table.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(math.max(1000, nlist * 100)) // bounded, deterministic fit sample
-      .as[(Long, Array[Float])].collect().map(_._2)
+      .where(col(idCol) < lit(math.max(1000, nlist * 100).toLong))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
     val centroids = kmeans(sample, nlist, iters)
     val bc = spark.sparkContext.broadcast(centroids)
 
@@ -134,6 +136,54 @@ object AnnSearch {
       }.toDF("probe_id", "pvec", "list_id", "cdist")
 
     val scored = assigned.join(broadcast(probeLists.select("probe_id", "pvec", "list_id")), Seq("list_id"))
+      .withColumn("cos", cosine(col(vecCol), col("pvec")))
+      .select(col("probe_id"), col(idCol), col("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /**
+   * IVF with a deterministic sampled coarse quantizer (no Lloyd refinement):
+   * the centroids are the embeddings of ids `< nlist` — the standard
+   * IVF-FLAT probe shape (assign → nprobe nearest lists → exact re-rank)
+   * with a quantizer simple enough to be ANSI-SQL-replicable, so the whole
+   * operator is DuckDB-oracle-checked (q23). [[ivfTopK]] keeps the
+   * k-means-refined quantizer (recall-tested in ScalaTest). Ties in the
+   * quantizer break by centroid id; re-rank ties by `idCol`.
+   */
+  def ivfFixedTopK(table: DataFrame, probes: DataFrame, k: Int,
+                   nlist: Int = 16, nprobe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = table.sparkSession
+    import spark.implicits._
+    val centroids: Array[(Long, Array[Double])] = table
+      .where(col(idCol) < nlist).select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    require(centroids.nonEmpty, s"no centroid rows with $idCol < $nlist")
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def nearestLists(v: Array[Float], cs: Array[(Long, Array[Double])], n: Int): Seq[Long] =
+      cs.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val dx = v(i) - c(i); d += dx * dx; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(n).map(_._2).toSeq
+
+    val assigned = table.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestLists(v, cs, 1).head) }
+      }.toDF(idCol, vecCol, "list_id")
+    val probeLists = probes.select(col("probe_id"), col("pvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (pid, pv) =>
+        val cs = bc.value
+        nearestLists(pv, cs, nprobe).map(c => (pid, pv, c))
+      }.toDF("probe_id", "pvec", "list_id")
+    val scored = assigned.join(broadcast(probeLists), Seq("list_id"))
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
       .select(col("probe_id"), col(idCol), col("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)

@@ -116,15 +116,25 @@ object Dedup {
     } yield (ia, ib, jac)).toSet
   }
 
-  /** 64-bit SimHash over word tokens (deterministic FNV/mix hashing). */
+  /** 64-bit SimHash over word tokens. Per-word hash = the top 64 bits of
+    * md5(word) — chosen over a custom integer mix so the whole operator is
+    * ANSI-SQL-expressible (hex-digit bit extraction) and DuckDB-oracle-checked
+    * as q20; empty tokens are skipped on both sides. */
   def simhash64(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new Array[Int](64)
     text.toLowerCase.split(" ").foreach { w =>
-      val h = Hashing.mix64(Hashing.fnv1a(w))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (w.nonEmpty) {
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
     }
     var sig = 0L
