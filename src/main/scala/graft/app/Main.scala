@@ -77,20 +77,23 @@ object Main {
   def ingest(spark: SparkSession, cfg: RunConfig)
       : (org.apache.spark.sql.Dataset[Footprint],
          org.apache.spark.sql.Dataset[HrefRef],
-         org.apache.spark.sql.Dataset[IdRec]) = {
+         org.apache.spark.sql.Dataset[IdRec],
+         org.apache.spark.sql.Dataset[SurfacePoly]) = {
     import spark.implicits._
-    val (fps0, hrefs, ids) = DistributedIngest.ingest(spark, ingestTasks(cfg))
+    val (fps0, hrefs, ids, surfaces) = DistributedIngest.ingest(spark, ingestTasks(cfg))
     val excl = cfg.excludeAttrs
     val fps = if (excl.isEmpty) fps0 else fps0.map(f => f.copy(attrs = f.attrs -- excl))
-    (fps, hrefs, ids)
+    (fps, hrefs, ids, surfaces)
   }
 
   def runMap(spark: SparkSession, cfg: RunConfig): Unit = {
-    val (fpDs, hrefDs, idDs) = ingest(spark, cfg)
+    val (fpDs, hrefDs, idDs, surfDs) = ingest(spark, cfg)
     val out = cfg.outputDir
     Files.createDirectories(Paths.get(out))
-    // resumable footprint table with per-partition lineage (IceLite)
+    // resumable footprint + full-surface tables with per-partition lineage
     IceLite.writeResumable(fpDs.toDF(), s"$out/footprints", "partition_id")
+    if (surfDs.head(1).nonEmpty)
+      IceLite.writeResumable(surfDs.toDF(), s"$out/surfaces", "partition_id")
     // J1 XLink resolution + audit
     if (hrefDs.head(1).nonEmpty) {
       val resolved = XLinkResolve.resolve(hrefDs.toDF(), idDs.toDF())
@@ -110,8 +113,19 @@ object Main {
     import spark.implicits._
     val fps = IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint]
       .collect().toSeq
+    val surfaces: Seq[SurfacePoly] =
+      if (Files.exists(Paths.get(s"${cfg.outputDir}/surfaces/_icelite/VERSION")))
+        IceLite.read(spark, s"${cfg.outputDir}/surfaces").as[SurfacePoly].collect().toSeq
+      else Seq.empty
+    val surfByPart = surfaces.groupBy(_.partition_id)
     fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
-      Exporters.exportCityGml(pfps, s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+      surfByPart.get(pid) match {
+        // full-surface fidelity when the mapped model kept its 3D surfaces
+        case Some(ss) => Exporters.exportCityGmlFull(pfps, ss,
+          s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+        case None => Exporters.exportCityGml(pfps,
+          s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+      }
       Exporters.exportCityJson(Exporters.bboxFilter(pfps, cfg.bbox),
         s"${cfg.outputDir}/export_p$pid.json")
     }

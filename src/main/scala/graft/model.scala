@@ -28,6 +28,24 @@ object model {
       centroid: XY,
       attrs: Map[String, String])
 
+  final case class XYZ(x: Double, y: Double, z: Double)
+
+  /**
+   * One 3D boundary-surface polygon of a building (walls/roofs/ground…) —
+   * the full-fidelity geometry row that [[Footprint]] (2D ground ring +
+   * envelope) deliberately projects away. Carried ingest → table → export so
+   * a mapped model re-emits ALL its surfaces, mirroring the reference's
+   * whole-tree export (`CityGMLV2DB.java:283-337`).
+   */
+  final case class SurfacePoly(
+      feature_id: String,     // owning top-level feature (building)
+      surface_id: String,
+      surface_type: String,   // GroundSurface | WallSurface | RoofSurface | …
+      partition_id: Int,
+      poly_id: String,
+      exterior: Seq[XYZ],
+      interiors: Seq[Seq[XYZ]])
+
   /** XLink edge candidate: owner object --href--> target id (reference J1 input). */
   final case class HrefRef(owner_id: String, href: String, partition_id: Int)
 

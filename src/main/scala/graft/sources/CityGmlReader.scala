@@ -44,7 +44,7 @@ object CityGmlReader {
 
   final case class GmlDoc(buildings: Seq[GmlBuilding], srs: String)
 
-  private val SurfaceTypes = Set("GroundSurface", "WallSurface", "RoofSurface",
+  private[sources] val SurfaceTypes = Set("GroundSurface", "WallSurface", "RoofSurface",
     "CeilingSurface", "FloorSurface", "ClosureSurface", "OuterCeilingSurface",
     "OuterFloorSurface")
 
@@ -103,6 +103,7 @@ object CityGmlReader {
     var surfaceType = "Building"
     var surfaceId = bid
     var genAttrName: String = null
+    var inGenAttrV3 = false // CityGML 3.0 generics: name/value are CHILD elements
     var scalarProp: String = null
     // polygon state
     var polyId: String = null
@@ -138,6 +139,14 @@ object CityGmlReader {
             case "measureAttribute" | "stringAttribute" | "intAttribute" |
                  "doubleAttribute" | "dateAttribute" | "uriAttribute" =>
               genAttrName = attr(r, "name").orNull
+            // CityGML 3.0 generics: capitalized element, name as a child
+            case "StringAttribute" | "IntAttribute" | "DoubleAttribute" |
+                 "MeasureAttribute" | "DateAttribute" | "URIAttribute" |
+                 "CodeAttribute" =>
+              inGenAttrV3 = true
+            case "name" if inGenAttrV3 =>
+              genAttrName = readText(r).trim
+              depth -= 1
             case "value" if genAttrName != null =>
               attrs += genAttrName -> readText(r).trim
               genAttrName = null
@@ -156,6 +165,10 @@ object CityGmlReader {
         case XMLStreamConstants.END_ELEMENT =>
           depth -= 1
           r.getLocalName match {
+            case "StringAttribute" | "IntAttribute" | "DoubleAttribute" |
+                 "MeasureAttribute" | "DateAttribute" | "URIAttribute" |
+                 "CodeAttribute" =>
+              inGenAttrV3 = false
             case "LinearRing" =>
               inRing = false
               if (inInterior) ints += coords.toArray else ext = coords.toArray
@@ -250,6 +263,18 @@ object CityGmlReader {
     val docs = files.map(f => parseFile(f.toString))
     GmlDoc(docs.flatMap(_.buildings), docs.map(_.srs).find(_.nonEmpty).getOrElse(""))
   }
+
+  /** Full-fidelity 3D boundary-surface rows (one per polygon) — the export
+    * side re-emits these verbatim, so map→export keeps walls/roofs/openings,
+    * not just the ground projection (reference `CityGMLV2DB.java:283-337`). */
+  def toSurfaces(doc: GmlDoc, partitionId: Int): Seq[SurfacePoly] =
+    doc.buildings.flatMap { b =>
+      b.polygons.map { p =>
+        SurfacePoly(b.id, p.surfaceId, p.surfaceType, partitionId, p.polyId,
+          p.exterior.map(t => XYZ(t._1, t._2, t._3)).toSeq,
+          p.interiors.map(_.map(t => XYZ(t._1, t._2, t._3)).toSeq).toSeq)
+      }
+    }
 
   /** Href records for the J1 XLink-resolution join. */
   def toHrefs(doc: GmlDoc, partitionId: Int): Seq[HrefRef] =

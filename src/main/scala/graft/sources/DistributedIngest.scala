@@ -32,7 +32,8 @@ object DistributedIngest {
   final case class ParsedFile(
       footprints: Seq[Footprint],
       hrefs: Seq[HrefRef],
-      ids: Seq[IdRec])
+      ids: Seq[IdRec],
+      surfaces: Seq[SurfacePoly])
 
   /** Expand a config entry (single file or directory) into per-file tasks;
     * directory walk order = sorted path (reference W3 merge order,
@@ -57,20 +58,20 @@ object DistributedIngest {
       ParsedFile(
         CityGmlReader.toFootprints(doc, t.partition_id),
         CityGmlReader.toHrefs(doc, t.partition_id),
-        CityGmlReader.toIds(doc, t.partition_id))
+        CityGmlReader.toIds(doc, t.partition_id),
+        CityGmlReader.toSurfaces(doc, t.partition_id))
     case "cityjson" =>
       val doc = CityJsonReader.parseFile(t.path)
-      ParsedFile(CityJsonReader.toFootprints(doc, t.partition_id), Nil, Nil)
+      ParsedFile(CityJsonReader.toFootprints(doc, t.partition_id), Nil, Nil, Nil)
     case other => sys.error(s"unknown ingest format: $other")
   }
 
   /**
-   * Parse every task distributed; returns (footprints, hrefs, ids) datasets
-   * sharing one persisted parse. Caller should `unpersistParsed` (or let the
-   * session end) once downstream writes are done.
+   * Parse every task distributed; returns (footprints, hrefs, ids, surfaces)
+   * datasets sharing one persisted parse.
    */
   def ingest(spark: SparkSession, tasks: Seq[IngestTask])
-      : (Dataset[Footprint], Dataset[HrefRef], Dataset[IdRec]) = {
+      : (Dataset[Footprint], Dataset[HrefRef], Dataset[IdRec], Dataset[SurfacePoly]) = {
     import spark.implicits._
     require(tasks.nonEmpty, "no input files to ingest")
     val slices = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
@@ -78,6 +79,7 @@ object DistributedIngest {
       .repartition(slices)
       .mapPartitions(_.map(parseTask))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    (parsed.flatMap(_.footprints), parsed.flatMap(_.hrefs), parsed.flatMap(_.ids))
+    (parsed.flatMap(_.footprints), parsed.flatMap(_.hrefs),
+      parsed.flatMap(_.ids), parsed.flatMap(_.surfaces))
   }
 }

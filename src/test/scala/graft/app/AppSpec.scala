@@ -62,7 +62,7 @@ class AppSpec extends AnyFunSuite {
     }
     val tasks = graft.sources.DistributedIngest.tasksFor(0, dir.toString, "citygml")
     assert(tasks.size === 8 && tasks.forall(_.partition_id == 0))
-    val (fps, _, ids) = graft.sources.DistributedIngest.ingest(spark, tasks)
+    val (fps, _, ids, _) = graft.sources.DistributedIngest.ingest(spark, tasks)
     // the parse stage fans out over the cluster, not the driver
     assert(fps.rdd.getNumPartitions >= 2,
       s"parse stage must have >1 task, got ${fps.rdd.getNumPartitions}")

@@ -40,6 +40,28 @@ class ExportSpec extends AnyFunSuite {
     assert(back2.isEmpty)
   }
 
+  test("full-surface CityGML round trip: ALL polygons (walls/roofs) survive exactly") {
+    val doc = CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml")
+    val surfaces = CityGmlReader.toSurfaces(doc, 0)
+    assert(surfaces.size >= 7, s"FZK LoD2 must have >= 7 boundary polygons, got ${surfaces.size}")
+    assert(surfaces.map(_.surface_type).toSet ===
+      Set("GroundSurface", "WallSurface", "RoofSurface"))
+    val out = java.nio.file.Files.createTempDirectory("gmlfull").resolve("fzk_full.gml").toString
+    Exporters.exportCityGmlFull(fzk, surfaces, out)
+    val backDoc = CityGmlReader.parseFile(out)
+    val back = CityGmlReader.toSurfaces(backDoc, 0)
+    // polygon count + ids + types + exact 3D coordinates all survive
+    assert(back.size === surfaces.size)
+    def key(s: SurfacePoly) = (s.feature_id, s.surface_id, s.surface_type, s.poly_id,
+      s.exterior, s.interiors)
+    assert(back.map(key).toSet === surfaces.map(key).toSet)
+    // the re-ingested FOOTPRINT also still matches (ground ring + full env)
+    val bFp = CityGmlReader.toFootprints(backDoc, 0).filter(_.feature_type == "Building").head
+    val oFp = fzk.filter(_.feature_type == "Building").head
+    assert(bFp.env === oFp.env, "building envelope must aggregate over ALL surfaces")
+    assert(closedSet(bFp.ring) === closedSet(oFp.ring))
+  }
+
   test("CityJSON round trip: quantization-exact for 3-decimal source coords") {
     val out = java.nio.file.Files.createTempDirectory("cj").resolve("b.json").toString
     Exporters.exportCityJson(cj, out, srs = "EPSG:3068")

@@ -50,6 +50,41 @@ class IngestSpec extends AnyFunSuite {
     assert(f1.head.env === f2.head.env)
   }
 
+  test("CityGML v3 golden: faithful v3 restructuring of FZK parses identically to v2") {
+    // Build the representative v3 fixture from the REAL v2 geometry (the
+    // reference's v3 input was stripped from the snapshot): core:boundary
+    // wrappers, construction-namespace surface types, core:lod2MultiSurface,
+    // GML 3.2, v3 child-element generic attributes (CityGMLV3DB.java:56-126).
+    val v2doc = CityGmlReader.parseFile(gmlV2)
+    val fps = CityGmlReader.toFootprints(v2doc, 0)
+    val surfaces = CityGmlReader.toSurfaces(v2doc, 0)
+    val out = java.nio.file.Files.createTempDirectory("gmlv3").resolve("fzk_v3.gml").toString
+    Exporters.exportCityGmlV3Full(fps.filter(_.feature_type == "Building"), surfaces, out)
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    assert(txt.contains("citygml/3.0") && txt.contains("construction/3.0")
+      && txt.contains("gml/3.2") && txt.contains("boundary"), "fixture must be v3-shaped")
+
+    val v3doc = CityGmlReader.parseFile(out)
+    assert(v3doc.buildings.size === 1)
+    val b3 = v3doc.buildings.head
+    assert(b3.id === FzkId)
+    assert(b3.polygons.size === 7)
+    // footprint equality v3 == v2 (ring, envelope over ALL surfaces, centroid)
+    val f3 = CityGmlReader.toFootprints(v3doc, 0).filter(_.feature_type == "Building").head
+    val f2 = fps.filter(_.feature_type == "Building").head
+    assert(f3.ring === f2.ring)
+    assert(f3.env === f2.env)
+    assert(f3.centroid === f2.centroid)
+    // v3 child-element generic attributes parse
+    assert(b3.attrs("GrossPlannedArea") === "120.00")
+    assert(b3.attrs("ConstructionMethod") === "New Building")
+    // full surface set identical
+    val s3 = CityGmlReader.toSurfaces(v3doc, 0)
+    def key(s: SurfacePoly) = (s.feature_id, s.surface_id, s.surface_type, s.poly_id,
+      s.exterior, s.interiors)
+    assert(s3.map(key).toSet === surfaces.map(key).toSet)
+  }
+
   test("CityGML v1: XLink hrefs extracted (J1 join input, 7 solid members)") {
     val doc = CityGmlReader.parseFile(gmlV1)
     val hrefs = CityGmlReader.toHrefs(doc, 0)
