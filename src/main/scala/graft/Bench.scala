@@ -131,6 +131,22 @@ object Bench {
         .groupBy("tile_id").count().count()
     }
 
+    // distributed kNN ring-expansion path (huge-target-side variant) —
+    // regression canary for the round-loop job count and checkpoint behavior
+    val (ringRows, ringSecs) = bestOf3 {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      // target grid spans the FULL geotag area (center ± ~450 m) so every
+      // probe terminates via the ring stop bound; res 11 (~25 m cells) keeps
+      // the worst-case ring radius well under maxR
+      val targets = spark.range(100000L).selectExpr(
+        "concat('t', id) AS target_id",
+        "457398.0 + (id % 400) * 2.25 AS cx",
+        "5438638.0 + CAST(id / 400 AS BIGINT) * 3.6 AS cy")
+      val probes = pts.where(pmod(xxhash64(col("image_id")), lit(1000L)) === 0L)
+        .withColumnRenamed("image_id", "probe_id")
+      operators.KnnJoin.ringJoin(probes, targets, k = 3, res = 11, maxR = 24).count()
+    }
+
     // input_hint fidelity: the same PIP join over the FULL image+caption
     // schema (image_id, bytes, w, h, fmt, caption, phash, x, y) — column
     // pruning must keep the scan at (image_id, x, y), so throughput should
@@ -144,16 +160,23 @@ object Bench {
         .select("image_id", "feature_id").count()
     }
 
+    // per-query seconds: MEDIAN of `reps` repetitions (this host shares CPUs
+    // with a bursty neighbor — a single contaminated shot misreports a query
+    // by 3-10x; the median of 3 is stable in both quiet and noisy windows)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial-join rows/sec (PIP, 101 LoD2 footprints)","value":${f"$rowsPerSec%.0f"},"unit":"rows/sec","queries":$qs,"sf":"$sfDir","pip":{"points":$inRows,"joined":$joined,"secs":${f"$secs%.3f"}},"knn":{"rows":$knnRows,"secs":${f"$knnSecs%.3f"},"rows_per_sec":${f"${inRows / knnSecs}%.0f"}},"tiles":{"tiles":$tileRows,"secs":${f"$tileSecs%.3f"},"rows_per_sec":${f"${inRows / tileSecs}%.0f"}},"pip_full_schema":{"points":$nImg,"joined":$fullJoined,"secs":${f"$fullSecs%.3f"},"rows_per_sec":${f"${nImg / fullSecs}%.0f"}},"total_query_sec":${f"$total%.3f"}}""")
+      s"""{"metric":"spatial-join rows/sec (PIP, 101 LoD2 footprints)","value":${f"$rowsPerSec%.0f"},"unit":"rows/sec","queries":$qs,"query_reps":$reps,"sf":"$sfDir","pip":{"points":$inRows,"joined":$joined,"secs":${f"$secs%.3f"}},"knn":{"rows":$knnRows,"secs":${f"$knnSecs%.3f"},"rows_per_sec":${f"${inRows / knnSecs}%.0f"}},"tiles":{"tiles":$tileRows,"secs":${f"$tileSecs%.3f"},"rows_per_sec":${f"${inRows / tileSecs}%.0f"}},"knn_ring":{"rows":$ringRows,"secs":${f"$ringSecs%.3f"}},"pip_full_schema":{"points":$nImg,"joined":$fullJoined,"secs":${f"$fullSecs%.3f"},"rows_per_sec":${f"${nImg / fullSecs}%.0f"}},"total_query_sec":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

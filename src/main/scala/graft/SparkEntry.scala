@@ -348,6 +348,17 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    "q35_graph_bfs" -> ((s, dir) => {
+      // ad-hoc graph-path diagnostics (reference GraphUtils Cypher paths):
+      // BFS levels from node 0 over a deterministic 2-out-degree edge table
+      val p = t(s, dir, "part")
+      val e1 = p.select((col("p_partkey") % 500).as("src"),
+        ((col("p_partkey") * 7 + 1) % 500).as("dst"))
+      val e2 = p.select(((col("p_partkey") * 3) % 500).as("src"),
+        ((col("p_partkey") + 13) % 500).as("dst"))
+      graft.operators.GraphPaths.bfsLevels(e1.unionByName(e2), source = 0L, maxDepth = 8)
+    }),
+
     // ---- engine-only (no SQL oracle; ScalaTest asserts exact row sets) ----
     "g1_footprint_census" -> ((s, dir) => {
       import s.implicits._
@@ -477,6 +488,17 @@ object SparkEntry {
            SELECT probe_id, vec_id,
                   CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    "q35_graph_bfs" ->
+      """WITH RECURSIVE e AS (
+           SELECT p_partkey %% 500 AS src, (p_partkey * 7 + 1) %% 500 AS dst FROM part
+           UNION ALL
+           SELECT (p_partkey * 3) %% 500, (p_partkey + 13) %% 500 FROM part),
+         bfs AS (
+           SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+           UNION
+           SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON bfs.node = e.src
+           WHERE bfs.dist < 8)
+         SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY 1""",
     "q27_langid" ->
       s"""WITH t AS (
            SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS toks,

@@ -129,6 +129,18 @@ final class KnnIndex(targets: Seq[(String, Double, Double)], val k: Int,
             math.sqrt(bd(kk - 1)) < KnnJoin.ringLowerBound(res, r + 1)) done = true
         r += 1
       }
+      if (!done) {
+        // ring budget exhausted before the stop bound (far-field probe or
+        // sparse targets): fall back to the exact linear scan instead of
+        // returning a silently truncated/incomplete top-k
+        filled = 0
+        var i = 0
+        while (i < n) {
+          val dx = txs(i) - x; val dy = tys(i) - y
+          consider(i, dx * dx + dy * dy)
+          i += 1
+        }
+      }
     }
 
     val out = new Array[Any](filled)

@@ -76,26 +76,39 @@ object KnnJoin {
     val t = targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
+    def candOf(p: DataFrame): DataFrame = p
+      .select(col("probe_id"), col("x"), col("y"), col("target_id"),
+        ((col("cx") - col("x")) * (col("cx") - col("x")) +
+         (col("cy") - col("y")) * (col("cy") - col("y"))).as("d2"))
+    // eager checkpoints: each round's accumulator and pending set materialize
+    // ONCE and truncate lineage — a lazy checkpoint re-ran the whole round
+    // chain on every action (recompute amplification across rounds)
     var pending = probes.select(col("probe_id").cast("string"),
-      col("x").cast("double"), col("y").cast("double"))
-    var acc: DataFrame = null
+      col("x").cast("double"), col("y").cast("double")).localCheckpoint(true)
+    var nPending = pending.count() // the single per-round done-probe pass
+    var acc: DataFrame = candOf(pending.limit(0).crossJoin(t.limit(0)))
     var r = 0
-    while (r <= maxR && !pending.isEmpty) {
-      val cand = pending.withColumn("pcell", explode(
+    while (r <= maxR && nPending > 0) {
+      val cand = candOf(pending.withColumn("pcell", explode(
           graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(r))))
-        .join(t, col("pcell") === col("tcell"))
-        .select(col("probe_id"), col("x"), col("y"), col("target_id"),
-          ((col("cx") - col("x")) * (col("cx") - col("x")) +
-           (col("cy") - col("y")) * (col("cy") - col("y"))).as("d2"))
-      acc = if (acc == null) cand else acc.unionByName(cand)
-      acc = acc.localCheckpoint(false)
+        .join(t, col("pcell") === col("tcell")))
+      acc = acc.unionByName(cand).localCheckpoint(true)
       val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
       val ranked = acc.withColumn("rnk", row_number().over(w))
       val bound = ringLowerBound(res, r + 1)
       val doneProbes = ranked.where(col("rnk") === k && sqrt(col("d2")) < bound)
         .select(col("probe_id").as("done_id"))
       pending = pending.join(doneProbes, col("probe_id") === col("done_id"), "left_anti")
+        .localCheckpoint(true)
+      nPending = pending.count()
       r += 1
+    }
+    if (nPending > 0) {
+      // ring budget exhausted with probes still open (far-field stragglers —
+      // by construction a small set): exact fallback join instead of a
+      // silently truncated top-k; distinct() drops the re-met candidates
+      // (duplicate rows are identical in every column, scalars only)
+      acc = acc.unionByName(candOf(pending.crossJoin(t))).distinct()
     }
     val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
     acc.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

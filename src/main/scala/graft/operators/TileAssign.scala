@@ -34,11 +34,38 @@ object TileAssign {
       .withColumn("zoom", explode(lit(zooms.toArray)))
       .withColumn("tile_id", tile_of(col("x"), col("y"), col("zoom")))
 
-  /** images ⋈ features per tile (the raster↔vector assignment). */
-  def assign(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame = {
-    val ft = featureTiles(fps, zooms)
+  /** images ⋈ features per tile (the raster↔vector assignment). Routes
+    * through [[auto]]: broadcast only when the exploded feature-tile side is
+    * provably bounded — features × zooms × cover-tiles can exceed any
+    * broadcast budget even when the feature TABLE looks small. */
+  def assign(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame =
+    auto(points, fps, zooms)
+
+  /** Broadcast path: feature-tile side ships to every executor; the point
+    * side never shuffles. */
+  def assignBroadcast(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame =
     pointTiles(points, zooms)
-      .join(broadcast(ft), Seq("zoom", "tile_id"))
+      .join(broadcast(featureTiles(fps, zooms)), Seq("zoom", "tile_id"))
+
+  /** Shuffle (sort-merge) path for an unbounded feature-tile side: plain
+    * equi-join on (zoom, tile_id) — both sides shuffle on the tile key, no
+    * executor holds the whole feature pyramid. */
+  def assignShuffle(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int]): DataFrame =
+    pointTiles(points, zooms)
+      .hint("merge")
+      .join(featureTiles(fps, zooms), Seq("zoom", "tile_id"))
+
+  /**
+   * Physical-path auto-selection (same treatment as [[PipJoin.auto]]): count
+   * the exploded feature-tile rows with one small-side pass (the point side
+   * is untouched) and broadcast only under `broadcastLimit`; otherwise take
+   * the shuffle join.
+   */
+  def auto(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int],
+           broadcastLimit: Long = 2000000L): DataFrame = {
+    val ftRows = featureTiles(fps, zooms).count()
+    if (ftRows <= broadcastLimit) assignBroadcast(points, fps, zooms)
+    else assignShuffle(points, fps, zooms)
   }
 
   /** Deterministic top-k rows per (zoom, tile). */

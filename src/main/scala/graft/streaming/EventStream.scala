@@ -33,31 +33,58 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, nSessions: Long)
+  /** buffered = (tsMillis, event_id) not yet past the watermark; the scalar
+    * fields summarize the FINALIZED event prefix. */
+  final case class SessionBuf(buffered: Seq[(Long, Long)], lastTs: Long,
+                              nEvents: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Fold the 30-min-gap session rule over (tsMillis, event_id) pairs, which
+    * MUST already be sorted by (ts, event_id) — the batch q25 tie-break. */
+  private def foldSessions(st: SessionBuf, evs: Seq[(Long, Long)], gap: Long): SessionBuf =
+    evs.foldLeft(st) { case (s, (ms, _)) =>
+      val t = ms / 1000
+      if (s.lastTs < 0 || t - s.lastTs > gap)
+        s.copy(lastTs = t, nEvents = s.nEvents + 1, nSessions = s.nSessions + 1)
+      else s.copy(lastTs = t, nEvents = s.nEvents + 1)
+    }
 
   /**
    * Stateful sessionization (30-min inactivity gap) via flatMapGroupsWithState
-   * — the KeyValueGroupedDataset custom-state path. Emits a final per-user
-   * summary on processing-time timeout; in the bounded replay test we read the
-   * state off the complete-mode count instead.
+   * with EVENT-TIME timeout: events buffer in state and only the prefix at or
+   * below the watermark is folded into the session counters (so out-of-order
+   * arrivals ACROSS micro-batches sort correctly before the gap rule applies —
+   * a naive running fold would move `lastTs` backwards and merge sessions).
+   * Exactly ONE final `UserSessions` row is emitted per user, when the
+   * watermark passes their last event + gap — an Append-mode-safe contract
+   * (no conflicting partial rows reach the sink).
    */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): DataFrame = {
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 watermarkDelay: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime / 1000
-            st =
-              if (st.lastTs < 0 || t - st.lastTs > gapSeconds)
-                SessionState(t, t, st.nEvents + 1, st.nSessions + 1)
-              else st.copy(lastTs = t, nEvents = st.nEvents + 1)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: no admissible event can open
+            // or extend this user's sessions — drain the buffer and finalize
+            val st = state.get
+            val fin = foldSessions(st, st.buffered.sorted, gapSeconds)
+            state.remove()
+            Iterator.single(UserSessions(userId, fin.nSessions, fin.nEvents))
+          } else {
+            val st0 = state.getOption.getOrElse(SessionBuf(Nil, -1L, 0L, 0L))
+            val wm = state.getCurrentWatermarkMs()
+            val all = (st0.buffered ++ it.map(e => (e.ts.getTime, e.event_id))).sorted
+            val (ripe, keep) = all.partition(_._1 < wm)
+            val st1 = foldSessions(st0, ripe, gapSeconds).copy(buffered = keep)
+            state.update(st1)
+            val maxSeenMs = (st1.lastTs * 1000L +: keep.map(_._1)).max
+            state.setTimeoutTimestamp(math.max(maxSeenMs + gapSeconds * 1000L, wm + 1L))
+            Iterator.empty
           }
-          state.update(st)
-          Iterator(UserSessions(userId, st.nSessions, st.nEvents))
       }.toDF()
   }
 

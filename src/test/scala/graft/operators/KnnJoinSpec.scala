@@ -58,6 +58,24 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("ring-budget exhaustion falls back to exact results (no silent truncation)") {
+    // probes far outside the target window: the k-th neighbour lies beyond
+    // any small ring budget, so the capped ring walk alone would truncate
+    val far = (0 until 20).map { i => (f"f$i%03d", 450000.0 + i * 3.0, 5432000.0) }
+    val want = KnnJoin.bruteForce(far, targets, 3).toSet
+    // codegen-index path, hex-ring strategy forced, tiny cap
+    val gotIdx = KnnJoin.broadcastGrid(far.toDF("probe_id", "x", "y"), targets, k = 3,
+      res = 12, maxR = 2, linearLimit = 0)
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(gotIdx === want, "KnnIndex must fall back to the linear scan at the maxR cap")
+    // distributed ringJoin path, tiny cap
+    val gotRing = KnnJoin.ringJoin(far.toDF("probe_id", "x", "y"),
+      targets.toDF("target_id", "cx", "cy"), k = 3, res = 12, maxR = 2)
+      .select("probe_id", "target_id", "d2", "rnk")
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(gotRing === want, "ringJoin must finish pending probes exactly at the maxR cap")
+  }
+
   test("ringLowerBound is a true lower bound (random sampling)") {
     val res = 11
     val r2 = new scala.util.Random(7)

@@ -121,6 +121,28 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("TileAssign.auto: large feature-tile side takes the shuffle path, no broadcast") {
+    val fps = graft.Bench.benchPolygons
+    val pts = (0L until 2000L).map { i =>
+      val (x, y) = graft.sources.ImageGen.geotag(i); (f"i$i%06d", x, y)
+    }.toDF("image_id", "x", "y")
+    val ds = spark.createDataset(fps)
+    // force the "feature pyramid exceeds the broadcast budget" branch
+    val q = TileAssign.auto(pts, ds, Seq(18, 19, 20), broadcastLimit = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"over-limit feature side must not broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    // row set identical to the broadcast path
+    val got = q.select("image_id", "feature_id", "zoom", "tile_id")
+      .as[(String, String, Int, Long)].collect().toSet
+    val want = TileAssign.assignBroadcast(pts, ds, Seq(18, 19, 20))
+      .select("image_id", "feature_id", "zoom", "tile_id")
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(got === want && want.nonEmpty)
+  }
+
   test("salted join splits the hot cell key across salts (skew mitigation)") {
     // 60%-skewed points: the unsalted cell key would put ~60% of rows in one
     // reducer group; salting spreads them over `salts` buckets

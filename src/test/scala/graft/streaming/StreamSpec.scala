@@ -77,23 +77,40 @@ class StreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("stateful streaming sessionization == batch q25 sessions") {
+  test("stateful streaming sessionization == batch q25 sessions (event-time timeout)") {
+    // dedicated replay dir: 3 sequential chunks + a far-future watermark-flush
+    // sentinel (its own user) so every real user's event-time timeout fires
+    // inside the bounded replay
+    val d = java.nio.file.Files.createTempDirectory("events_sess").toString
+    val df = spark.read.parquet(s"$sf/events.parquet")
+    val n = df.agg(max("event_id")).head().getLong(0) + 1
+    for (i <- 0 until 3) {
+      df.where(col("event_id") >= i * n / 3 && col("event_id") < (i + 1) * n / 3)
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100)
+    }
+    val maxEpoch = df.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    Seq((999999999L, new java.sql.Timestamp((maxEpoch + 7L * 86400) * 1000),
+        999999999L, "flush", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(d)
+
     val stream = spark.readStream.schema(EventStream.eventSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
+      .parquet(d)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStream.Event]
     val q = EventStream.sessionize(stream).writeStream
       .format("memory").queryName("sess_test").outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    // last emission per user = final state
-    val got = spark.table("sess_test")
-      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
-      .as[(Long, Long, Long)].collect().toSet
+    // Append-safe contract: exactly ONE final row per user (the sentinel user
+    // never times out and must not appear)
+    val rows = spark.table("sess_test").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length, "one emission per user")
     val want = graft.SparkEntry.queries("q25_sessionize")(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
-    assert(got === want)
+    assert(rows.toSet === want)
     assert(want.nonEmpty)
   }
 }
