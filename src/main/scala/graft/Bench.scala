@@ -136,15 +136,17 @@ object Bench {
     val (ringRows, ringSecs) = bestOf3 {
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
       // target grid spans the FULL geotag area (center ± ~450 m) so every
-      // probe terminates via the ring stop bound; res 11 (~25 m cells) keeps
-      // the worst-case ring radius well under maxR
+      // probe terminates via the ring stop bound; res 12 keeps the per-cell
+      // target count small — candidate volume, not round count, dominates
+      // (rings 0..R pull in O(R² · targets-per-cell) candidates per probe)
       val targets = spark.range(100000L).selectExpr(
         "concat('t', id) AS target_id",
         "457398.0 + (id % 400) * 2.25 AS cx",
         "5438638.0 + CAST(id / 400 AS BIGINT) * 3.6 AS cy")
       val probes = pts.where(pmod(xxhash64(col("image_id")), lit(1000L)) === 0L)
         .withColumnRenamed("image_id", "probe_id")
-      operators.KnnJoin.ringJoin(probes, targets, k = 3, res = 11, maxR = 24).count()
+      operators.KnnJoin.ringJoin(probes, targets, k = 3, res = 12, maxR = 48,
+        ringsPerRound = 2).count()
     }
 
     // input_hint fidelity: the same PIP join over the FULL image+caption

@@ -69,7 +69,8 @@ object KnnJoin {
    * bound. Candidate accumulation is a union + window top-k per probe.
    */
   def ringJoin(probes: DataFrame, targets: DataFrame,
-               k: Int, res: Int = 12, maxR: Int = 16): DataFrame = {
+               k: Int, res: Int = 12, maxR: Int = 16,
+               ringsPerRound: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     graft.functions.GeoFunctions.register(spark)
@@ -89,19 +90,25 @@ object KnnJoin {
     var acc: DataFrame = candOf(pending.limit(0).crossJoin(t.limit(0)))
     var r = 0
     while (r <= maxR && nPending > 0) {
-      val cand = candOf(pending.withColumn("pcell", explode(
-          graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(r))))
+      // visit `ringsPerRound` rings per round: each round costs a fixed
+      // number of jobs (join, checkpoint, rank, anti-join, count) regardless
+      // of data volume, so batching rings divides the synchronization-barrier
+      // count — the dominant cost when rounds are small
+      val rHi = math.min(r + ringsPerRound - 1, maxR)
+      val ringCells = flatten(array((r to rHi).map(rr =>
+        graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(rr))): _*))
+      val cand = candOf(pending.withColumn("pcell", explode(ringCells))
         .join(t, col("pcell") === col("tcell")))
       acc = acc.unionByName(cand).localCheckpoint(true)
       val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
       val ranked = acc.withColumn("rnk", row_number().over(w))
-      val bound = ringLowerBound(res, r + 1)
+      val bound = ringLowerBound(res, rHi + 1)
       val doneProbes = ranked.where(col("rnk") === k && sqrt(col("d2")) < bound)
         .select(col("probe_id").as("done_id"))
       pending = pending.join(doneProbes, col("probe_id") === col("done_id"), "left_anti")
         .localCheckpoint(true)
       nPending = pending.count()
-      r += 1
+      r = rHi + 1
     }
     if (nPending > 0) {
       // ring budget exhausted with probes still open (far-field stragglers —
