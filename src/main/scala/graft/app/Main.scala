@@ -121,13 +121,17 @@ object Main {
     fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
       surfByPart.get(pid) match {
         // full-surface fidelity when the mapped model kept its 3D surfaces
-        case Some(ss) => Exporters.exportCityGmlFull(pfps, ss,
-          s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
-        case None => Exporters.exportCityGml(pfps,
-          s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+        case Some(ss) =>
+          Exporters.exportCityGmlFull(pfps, ss,
+            s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+          Exporters.exportCityJsonFull(Exporters.bboxFilter(pfps, cfg.bbox), ss,
+            s"${cfg.outputDir}/export_p$pid.json")
+        case None =>
+          Exporters.exportCityGml(pfps,
+            s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
+          Exporters.exportCityJson(Exporters.bboxFilter(pfps, cfg.bbox),
+            s"${cfg.outputDir}/export_p$pid.json")
       }
-      Exporters.exportCityJson(Exporters.bboxFilter(pfps, cfg.bbox),
-        s"${cfg.outputDir}/export_p$pid.json")
     }
   }
 

@@ -82,46 +82,80 @@ object CityJsonReader {
       }.toMap
       case _ => Map.empty
     }
-    // geometry: list of Solid / MultiSurface / CompositeSurface; collect faces
-    val faces = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Int]]]
+    // geometry: list of Solid / MultiSurface / CompositeSurface; collect
+    // faces with their semantic surface type when the document carries a
+    // CityJSON `semantics` object (surfaces[] + values aligned with faces)
+    val faces = scala.collection.mutable.ArrayBuffer.empty[(Array[Array[Int]], Option[String])]
     (obj \ "geometry") match {
       case JArray(geoms) => geoms.foreach { g =>
         val btype = (g \ "type") match { case JString(s) => s; case _ => "" }
         val bounds = g \ "boundaries"
+        val semTypes: Array[String] = (g \ "semantics" \ "surfaces") match {
+          case JArray(ss) => ss.map(s => (s \ "type") match {
+            case JString(t) => t; case _ => ""
+          }).toArray
+          case _ => Array.empty
+        }
+        def semAt(v: Option[JValue]): Option[String] = v match {
+          case Some(JInt(i)) if i.toInt >= 0 && i.toInt < semTypes.length =>
+            Some(semTypes(i.toInt)).filter(_.nonEmpty)
+          case Some(JLong(l)) if l.toInt >= 0 && l.toInt < semTypes.length =>
+            Some(semTypes(l.toInt)).filter(_.nonEmpty)
+          case _ => None
+        }
         btype match {
-          case "Solid" => bounds match {
-            case JArray(shells) => shells.foreach {
-              case JArray(fs) => fs.foreach(f => faces += faceRings(f))
+          case "Solid" =>
+            val shellVals: List[JValue] = (g \ "semantics" \ "values") match {
+              case JArray(x) => x; case _ => Nil
+            }
+            bounds match {
+              case JArray(shells) => shells.zipWithIndex.foreach {
+                case (JArray(fs), si) =>
+                  val vals: List[JValue] = shellVals.lift(si) match {
+                    case Some(JArray(x)) => x; case _ => Nil
+                  }
+                  fs.zipWithIndex.foreach { case (f, fi) =>
+                    faces += ((faceRings(f), semAt(vals.lift(fi))))
+                  }
+                case _ =>
+              }
               case _ =>
             }
-            case _ =>
-          }
-          case "MultiSurface" | "CompositeSurface" => bounds match {
-            case JArray(fs) => fs.foreach(f => faces += faceRings(f))
-            case _ =>
-          }
+          case "MultiSurface" | "CompositeSurface" =>
+            val vals: List[JValue] = (g \ "semantics" \ "values") match {
+              case JArray(x) => x; case _ => Nil
+            }
+            bounds match {
+              case JArray(fs) => fs.zipWithIndex.foreach { case (f, fi) =>
+                faces += ((faceRings(f), semAt(vals.lift(fi))))
+              }
+              case _ =>
+            }
           case _ =>
         }
       }
       case _ =>
     }
-    val polys = faces.zipWithIndex.map { case (rings, fi) =>
+    val polys = faces.zipWithIndex.map { case ((rings, sem), fi) =>
       val ext = rings.head.map(verts)
       val ints = rings.tail.map(_.map(verts))
-      // classify face: ground if all z == min building z (within 1e-6)
-      CityGmlReader.GmlPolygon(s"$id/face$fi", s"$id/face$fi", "Surface", ext, ints)
+      CityGmlReader.GmlPolygon(s"$id/face$fi", s"$id/face$fi",
+        sem.getOrElse("Surface"), ext, ints)
     }.toSeq
-    // re-type ground/roof/wall by z geometry (CityJSON solids here carry no semantics)
+    // faces without semantics: re-type ground/roof/wall by z geometry
     val minz = polys.flatMap(_.exterior.map(_._3)).minOption.getOrElse(0.0)
     val maxz = polys.flatMap(_.exterior.map(_._3)).maxOption.getOrElse(0.0)
     val typed = polys.map { p =>
-      val zs = p.exterior.map(_._3)
-      val t =
-        if (zs.forall(z => math.abs(z - minz) < 1e-9)) "GroundSurface"
-        else if (zs.forall(z => z > minz + 1e-9) && isHorizontalish(p.exterior)) "RoofSurface"
-        else if (zs.max - zs.min < 1e-9 && math.abs(zs.head - maxz) < 1e-9) "RoofSurface"
-        else "WallSurface"
-      p.copy(surfaceType = t)
+      if (p.surfaceType != "Surface") p
+      else {
+        val zs = p.exterior.map(_._3)
+        val t =
+          if (zs.forall(z => math.abs(z - minz) < 1e-9)) "GroundSurface"
+          else if (zs.forall(z => z > minz + 1e-9) && isHorizontalish(p.exterior)) "RoofSurface"
+          else if (zs.max - zs.min < 1e-9 && math.abs(zs.head - maxz) < 1e-9) "RoofSurface"
+          else "WallSurface"
+        p.copy(surfaceType = t)
+      }
     }
     CityGmlReader.GmlBuilding(id, attrs, typed, Seq.empty)
   }
@@ -146,4 +180,8 @@ object CityJsonReader {
 
   def toFootprints(doc: CjDoc, partitionId: Int): Seq[Footprint] =
     CityGmlReader.toFootprints(CityGmlReader.GmlDoc(doc.buildings, doc.srs), partitionId)
+
+  /** Full-fidelity 3D surface rows (see [[CityGmlReader.toSurfaces]]). */
+  def toSurfaces(doc: CjDoc, partitionId: Int): Seq[SurfacePoly] =
+    CityGmlReader.toSurfaces(CityGmlReader.GmlDoc(doc.buildings, doc.srs), partitionId)
 }

@@ -62,7 +62,8 @@ object DistributedIngest {
         CityGmlReader.toSurfaces(doc, t.partition_id))
     case "cityjson" =>
       val doc = CityJsonReader.parseFile(t.path)
-      ParsedFile(CityJsonReader.toFootprints(doc, t.partition_id), Nil, Nil, Nil)
+      ParsedFile(CityJsonReader.toFootprints(doc, t.partition_id), Nil, Nil,
+        CityJsonReader.toSurfaces(doc, t.partition_id))
     case other => sys.error(s"unknown ingest format: $other")
   }
 

@@ -304,6 +304,49 @@ object Exporters {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes("UTF-8"))
   }
 
+  /**
+   * Full-surface CityJSON 2.0 export: every boundary polygon with its real
+   * 3D vertices (quantized, precision 3) plus a CityJSON `semantics` object
+   * carrying the surface types — the CityJSON twin of [[exportCityGmlFull]]
+   * (reference full-geometry CityJSON mapping, `CityJSONDB.java:71-142`).
+   */
+  def exportCityJsonFull(buildings: Seq[Footprint], surfaces: Seq[SurfacePoly],
+                         path: String, srs: String = ""): Unit = {
+    val sel = buildings.filter(_.feature_type == "Building")
+    val byBldg = surfaces.groupBy(_.feature_id)
+    val verts = scala.collection.mutable.LinkedHashMap.empty[(Long, Long, Long), Int]
+    def vIdx(p: XYZ): Int = {
+      val key = (math.round(p.x * 1000), math.round(p.y * 1000), math.round(p.z * 1000))
+      verts.getOrElseUpdate(key, verts.size)
+    }
+    def openRing(r: Seq[XYZ]): Seq[XYZ] =
+      if (r.size > 1 && r.head == r.last) r.dropRight(1) else r
+    val objs = sel.map { f =>
+      val polys = byBldg.getOrElse(f.feature_id, Seq.empty)
+      val boundaries = polys.map { p =>
+        (p.exterior +: p.interiors)
+          .map(r => openRing(r).map(vIdx).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
+      val types = polys.map(_.surface_type)
+      val uniq = types.distinct
+      val sem = s""""semantics":{"surfaces":[${
+          uniq.map(t => s"""{"type":${jq(t)}}""").mkString(",")
+        }],"values":[${types.map(uniq.indexOf).mkString(",")}]}"""
+      val attrs = f.attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+      s"""${jq(f.feature_id)}:{"type":"Building","attributes":$attrs,""" +
+        s""""geometry":[{"type":"MultiSurface","lod":"2","boundaries":$boundaries,$sem}]}"""
+    }.mkString(",")
+    val vertArr = verts.keys.map { case (a, b, c) => s"[$a,$b,$c]" }.mkString(",")
+    val meta = if (srs.nonEmpty) s""","metadata":{"referenceSystem":${jq(srs)}}""" else ""
+    val json =
+      s"""{"type":"CityJSON","version":"2.0",""" +
+        s""""transform":{"scale":[0.001,0.001,0.001],"translate":[0.0,0.0,0.0]},""" +
+        s""""CityObjects":{$objs},"vertices":[$vertArr]$meta}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes("UTF-8"))
+  }
+
   private def closedOpen(pts: Seq[XY]): Seq[XY] =
     if (pts.size > 1 && pts.head == pts.last) pts.dropRight(1) else pts
 

@@ -78,6 +78,33 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("full-surface CityJSON round trip: every polygon + semantic type survives") {
+    val doc = CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json")
+    val surfaces = CityJsonReader.toSurfaces(doc, 1)
+    assert(surfaces.size > 500, s"100 solids should yield >500 faces, got ${surfaces.size}")
+    val out = java.nio.file.Files.createTempDirectory("cjfull").resolve("full.json").toString
+    Exporters.exportCityJsonFull(cj, surfaces, out, srs = "EPSG:3068")
+    val back = CityJsonReader.parseFile(out)
+    val backS = CityJsonReader.toSurfaces(back, 1)
+    assert(backS.size === surfaces.size)
+    // geometry + semantic type multiset identical (face ids are synthetic in
+    // CityJSON, so compare by building, type and exact 3D rings; the fixture
+    // verts are 3-decimal quantized -> round trip is coordinate-exact)
+    def key(s: SurfacePoly) = (s.feature_id, s.surface_type, s.exterior, s.interiors)
+    def multiset(xs: Seq[SurfacePoly]) = xs.groupBy(key).view.mapValues(_.size).toMap
+    assert(multiset(backS) === multiset(surfaces))
+    // semantics came from the document, not the z-heuristic: all three types
+    assert(backS.map(_.surface_type).toSet ===
+      Set("GroundSurface", "WallSurface", "RoofSurface"))
+    // footprints unchanged too
+    val bm = CityJsonReader.toFootprints(back, 1).filter(_.feature_type == "Building")
+      .map(f => f.feature_id -> f).toMap
+    cj.filter(_.feature_type == "Building").foreach { o =>
+      assert(closedSet(bm(o.feature_id).ring) === closedSet(o.ring))
+      assert(bm(o.feature_id).env === o.env)
+    }
+  }
+
   test("CityJSON quantization semantics: round(x*1000)/1000 (CityJSONDB.java:118-121)") {
     val f = Footprint("q1", "Building", 0,
       Seq(XY(1.23456, 2.00049), XY(3.99999, 2.00049), XY(3.99999, 9.5), XY(1.23456, 9.5)),
