@@ -103,26 +103,15 @@ object AnnSearch {
       .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
     val centroids = kmeans(sample, nlist, iters)
     val bc = spark.sparkContext.broadcast(centroids)
+    val ivf = new org.apache.spark.sql.graft.IvfCentroids(
+      centroids.indices.map(_.toLong).toArray, centroids)
 
-    def nearestList(v: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val ctr = cs(c)
-        while (i < v.length) { val dx = v(i) - ctr(i); d += dx * dx; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
+    // table-side assignment is a single codegen projection — the centroid
+    // set rides the plan as a reference object, so the 10^12-row pass keeps
+    // whole-stage codegen and column pruning (no Encoder round-trip)
     val assigned = table.select(col(idCol), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) => (id, v, nearestList(v, cs)) }
-      }.toDF(idCol, vecCol, "list_id")
+      .withColumn("list_id",
+        org.apache.spark.sql.graft.VecFunctionsImpl.ivf_assign(col(vecCol), ivf))
 
     val probeLists = probes.select(col("probe_id"), col("pvec"))
       .as[(Long, Array[Float])]
@@ -131,8 +120,8 @@ object AnnSearch {
         cs.indices.map { c =>
           var d = 0.0; var i = 0
           while (i < pv.length) { val dx = pv(i) - cs(c)(i); d += dx * dx; i += 1 }
-          (pid, pv, c, d)
-        }.sortBy(_._4).take(nprobe)
+          (pid, pv, c.toLong, d)
+        }.sortBy(t => (t._4, t._3)).take(nprobe)
       }.toDF("probe_id", "pvec", "list_id", "cdist")
 
     val scored = assigned.join(broadcast(probeLists.select("probe_id", "pvec", "list_id")), Seq("list_id"))
@@ -163,6 +152,8 @@ object AnnSearch {
       .map { case (id, v) => (id, v.map(_.toDouble)) }
     require(centroids.nonEmpty, s"no centroid rows with $idCol < $nlist")
     val bc = spark.sparkContext.broadcast(centroids)
+    val ivf = new org.apache.spark.sql.graft.IvfCentroids(
+      centroids.map(_._1), centroids.map(_._2))
 
     def nearestLists(v: Array[Float], cs: Array[(Long, Array[Double])], n: Int): Seq[Long] =
       cs.map { case (cid, c) =>
@@ -171,12 +162,10 @@ object AnnSearch {
         (d, cid)
       }.sortBy(identity).take(n).map(_._2).toSeq
 
+    // table-side assignment = one codegen projection (see ivfTopK)
     val assigned = table.select(col(idCol), col(vecCol))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) => (id, v, nearestLists(v, cs, 1).head) }
-      }.toDF(idCol, vecCol, "list_id")
+      .withColumn("list_id",
+        org.apache.spark.sql.graft.VecFunctionsImpl.ivf_assign(col(vecCol), ivf))
     val probeLists = probes.select(col("probe_id"), col("pvec"))
       .as[(Long, Array[Float])]
       .flatMap { case (pid, pv) =>

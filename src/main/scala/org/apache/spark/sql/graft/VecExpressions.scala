@@ -102,8 +102,73 @@ case class CosineExpr(left: Expression, right: Expression) extends VecBinaryExpr
   override def prettyName: String = "vec_cosine"
 }
 
+/**
+ * IVF coarse-quantizer table: centroid ids + vectors, shipped inside the
+ * query plan as a reference object (same pattern as PipIndex/KnnIndex) so
+ * the 10^12-row assignment pass is a single codegen projection — no join,
+ * no Encoder round-trip, no shuffle. Ties break toward the lowest index,
+ * which is the lowest centroid id (ids are pre-sorted).
+ */
+final class IvfCentroids(idsIn: Array[Long], csIn: Array[Array[Double]])
+    extends Serializable {
+  private val order = idsIn.indices.sortBy(idsIn)
+  val ids: Array[Long] = order.map(idsIn).toArray
+  val cs: Array[Array[Double]] = order.map(csIn).toArray
+  require(ids.nonEmpty, "empty centroid set")
+
+  /** id of the nearest centroid by squared L2 (argmin, first-wins ties). */
+  def assign(a: ArrayData, isFloat: Boolean): Long = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      val n = math.min(a.numElements(), ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) - ctr(i)
+        d += dx * dx
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    ids(best)
+  }
+}
+
+/** ivf_assign(vec) → nearest-centroid id; centroids ride the plan. */
+case class IvfAssignExpr(child: Expression, index: IvfCentroids)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got $other")
+    }
+  override def nullSafeEval(a: Any): Any =
+    index.assign(a.asInstanceOf[ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", index,
+      classOf[IvfCentroids].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.assign($a, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ivf_assign"
+}
+
 object VecFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def vec_dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
+  def ivf_assign(vec: Column, centroids: IvfCentroids): Column =
+    column(IvfAssignExpr(expression(vec), centroids))
 }

@@ -143,6 +143,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got === want && want.nonEmpty)
   }
 
+  test("IVF assignment is a codegen projection (no Encoder round-trip, no join)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val q = AnnSearch.ivfFixedTopK(e, probes, k = 5, nlist = 16, nprobe = 4)
+    q.collect()
+    // AQE prints final + initial plans; assert on the final section only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // table side: ivf_assign inside a whole-stage-codegen Project straight
+    // over the scan (the 10^12-row pass)
+    assert(plan.linesIterator.exists(l => l.contains("ivf_assign") && l.contains("*(")),
+      s"ivf_assign must sit in a codegen span:\n$plan")
+    // the only Encoder round-trip left is the bounded PROBE side (nprobe
+    // expansion) — the table side must have none
+    assert(plan.linesIterator.count(_.contains("DeserializeToObject")) <= 1,
+      s"table-side IVF assignment must not round-trip through Encoders:\n$plan")
+  }
+
   test("salted join splits the hot cell key across salts (skew mitigation)") {
     // 60%-skewed points: the unsalted cell key would put ~60% of rows in one
     // reducer group; salting spreads them over `salts` buckets
