@@ -1,0 +1,61 @@
+package graft.app
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.{IceLite, ImageGen}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val polys = graft.Bench.benchPolygons
+  lazy val imagesDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pipe_imgs").toString
+    ImageGen.table(spark, 3000, 8).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("north-star pipeline: enrich rows == brute-force PIP; kNN-1 and tiles attached") {
+    val images = spark.read.parquet(imagesDir)
+    val out = Pipeline.enrich(images, polys).collect()
+    // PIP row set equals the brute-force oracle
+    val pts = (0L until 3000L).map { i =>
+      val (x, y) = ImageGen.geotag(i); (f"img_$i%010d", x, y)
+    }
+    val want = graft.operators.PipJoin.bruteForce(pts, polys)
+    assert(out.map(r => (r.getString(0), r.getString(5))).toSet === want)
+    assert(want.nonEmpty)
+    // nearest centroid is rank-1 of the brute-force kNN
+    val centroids = polys.map(f => (f.feature_id, f.centroid.x, f.centroid.y))
+    val nn1 = graft.operators.KnnJoin.bruteForce(pts, centroids, 1)
+      .map(t => t._1 -> t._2).toMap
+    out.foreach { r => assert(r.getString(6) === nn1(r.getString(0))) }
+    // tile matches tile_of
+    out.foreach { r =>
+      val t = graft.core.Tiles.pack(graft.core.Tiles.tileOf(r.getDouble(1), r.getDouble(2), 20))
+      assert(r.getLong(4) === t)
+    }
+  }
+
+  test("pipeline is resumable: crash after a prefix, rerun completes, audit green, byte-stable") {
+    val table = java.nio.file.Files.createTempDirectory("pipe_out").toString + "/enriched"
+    val images = spark.read.parquet(imagesDir)
+    // "crash": first run sees only half the buckets' rows
+    val half = Pipeline.enrich(images, polys).where(col("bucket") < 8)
+    IceLite.writeResumable(half, table, "bucket")
+    val snap1 = IceLite.currentSnapshot(table)
+    assert(snap1.partitions.size === 8)
+    // rerun end to end: committed buckets skipped, rest written
+    val (w, s, ok) = Pipeline.run(spark, imagesDir, polys, table)
+    assert(s === 8 && w === 8 && ok === 16, s"w=$w s=$s ok=$ok")
+    // full content equals a fresh single-shot run (byte-stable resume)
+    val resumed = IceLite.read(spark, table)
+    val fresh = Pipeline.enrich(images, polys)
+    assert(resumed.count() === fresh.count())
+    def chk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)")))
+        .head().get(0).toString
+    assert(chk(resumed) === chk(fresh), "resume must be byte-stable vs single-shot")
+  }
+}
