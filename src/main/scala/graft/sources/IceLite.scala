@@ -218,13 +218,24 @@ object IceLite {
   /**
    * Audit: recompute lineage per committed partition and compare with the
    * manifest — the metrics-table verification the north rule asks for.
+   * ONE grouped aggregation over the whole table (a per-partition read loop
+   * would be one Spark job per partition — O(P) jobs at 10k partitions).
    */
   def verifyLineage(spark: SparkSession, table: String, partCol: String): Seq[(String, Boolean)] = {
     val snap = currentSnapshot(table)
+    if (snap.partitions.isEmpty) return Seq.empty
+    val df = read(spark, table)
+    val aggs = lineageAggs(df)
+    val got = df.groupBy(col(partCol).cast("string").as("__pv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("0")))
+      .toMap
     snap.partitions.map { p =>
-      val df = spark.read.parquet(s"$table/data/${escapePart(p.partition)}")
-      val (rows, cs) = lineageOf(df)
-      p.partition -> (rows == p.rows && cs == p.checksum)
+      p.partition -> got.get(p.partition).exists { case (rows, cs) =>
+        rows == p.rows && cs == p.checksum
+      }
     }
   }
 }

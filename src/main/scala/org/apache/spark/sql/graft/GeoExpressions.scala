@@ -365,5 +365,11 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("tile_cover", es => TileCoverExpr(es(0), es(1)), "built-in")
+    // vector + text kernels on the same SQL surface
+    reg.createOrReplaceTempFunction("vec_dot", es => DotExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine", es => CosineExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_make", es => ShingleMakeExpr(es(0), es(1)), "built-in")
   }
 }

@@ -101,6 +101,23 @@ class SpatialRewriteSpec extends AnyFunSuite {
     assert(got === PipJoin.bruteForce(points, fps).filter(_._1.endsWith("0")))
   }
 
+  test("vector/text/tile kernels are callable from the SQL surface") {
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c,
+                vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                lang_id('the and of to in is that it with for') AS l,
+                size(shingle_make('a b c d', 3)) AS ns,
+                size(tile_cover(named_struct(
+                  'minx', 0.0D, 'miny', 0.0D, 'minz', 0.0D,
+                  'maxx', 10.0D, 'maxy', 10.0D, 'maxz', 0.0D), 20)) AS nt""").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getString(2) === "en")
+    assert(r.getInt(3) === 2)
+    assert(r.getInt(4) >= 1)
+  }
+
   test("rewrite leaves non-spatial joins untouched") {
     org.apache.spark.sql.graft.GraftExtensions.enable(spark)
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
