@@ -74,11 +74,34 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
  * Session extensions entry point:
  *   SparkSession.builder().withExtensions(new GraftExtensions) …
  * or  --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
- * Injects the engine's SQL functions and the spatial-join rewrite.
+ * Injects the engine's SQL functions and the spatial-join rewrite — a
+ * config-only deployment needs no code call to `register`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("org.apache.spark.sql.graft", name), builder)
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRewrite)
+    e.injectFunction(fn("hex_encode", es => HexEncodeExpr(es(0), es(1), es(2))))
+    e.injectFunction(fn("z_encode", es => ZEncodeExpr(es(0), es(1), es(2))))
+    e.injectFunction(fn("tile_of", es => TileOfExpr(es(0), es(1), es(2))))
+    e.injectFunction(fn("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2))))
+    e.injectFunction(fn("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3))))
+    e.injectFunction(fn("hex_cover", es => HexCoverExpr(es(0), es(1))))
+    e.injectFunction(fn("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3))))
+    e.injectFunction(fn("z_cell_x", es => ZCellXExpr(es(0))))
+    e.injectFunction(fn("z_cell_y", es => ZCellYExpr(es(0))))
+    e.injectFunction(fn("tile_cover", es => TileCoverExpr(es(0), es(1))))
+    e.injectFunction(fn("vec_dot", es => DotExpr(es(0), es(1))))
+    e.injectFunction(fn("vec_cosine", es => CosineExpr(es(0), es(1))))
+    e.injectFunction(fn("lang_id", es => LangIdExpr(es(0))))
+    e.injectFunction(fn("shingle_make", es => ShingleMakeExpr(es(0), es(1))))
   }
 }
 

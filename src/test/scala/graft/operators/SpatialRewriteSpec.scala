@@ -118,6 +118,43 @@ class SpatialRewriteSpec extends AnyFunSuite {
     assert(r.getInt(4) >= 1)
   }
 
+  test("config-only deployment: GraftExtensions injects functions + rule into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val old = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the existing SparkContext when one is live; extensions apply
+      // at session build
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .getOrCreate()
+      // functions available with NO register() call
+      val r = s2.sql(
+        "SELECT hex_encode(1.0D, 2.0D, 9) AS c, vec_cosine(array(1.0D), array(1.0D)) AS v").head()
+      assert(r.getLong(0) === graft.core.HexGrid.encode(1.0, 2.0, 9))
+      assert(r.getDouble(1) === 1.0)
+      // the spatial-join rewrite is active in SQL too
+      import s2.implicits._
+      points.take(200).toDF("image_id", "x", "y").createOrReplaceTempView("ext_pts")
+      s2.createDataset(fps).select("feature_id", "ring", "holes")
+        .createOrReplaceTempView("ext_polys")
+      val q = s2.sql(
+        "SELECT image_id, feature_id FROM ext_pts JOIN ext_polys ON st_covers(ring, holes, x, y)")
+      // (hex_encode over the literal local relation constant-folds away;
+      // the injected cell prejoin attributes prove the rule fired)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__cell_pt") && opt.contains("hex_cover"),
+        s"injected optimizer rule must fire:\n$opt")
+      assert(q.as[(String, String)].collect().toSet ===
+        PipJoin.bruteForce(points.take(200), fps))
+    } finally {
+      old.foreach { s => SparkSession.setActiveSession(s); SparkSession.setDefaultSession(s) }
+    }
+  }
+
   test("rewrite leaves non-spatial joins untouched") {
     org.apache.spark.sql.graft.GraftExtensions.enable(spark)
     val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
