@@ -140,6 +140,9 @@ object Main {
     graft.functions.GeoFunctions.register(spark)
     IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint].toDF()
       .createOrReplaceTempView("footprints")
+    if (Files.exists(Paths.get(s"${cfg.outputDir}/surfaces/_icelite/VERSION")))
+      IceLite.read(spark, s"${cfg.outputDir}/surfaces").as[SurfacePoly].toDF()
+        .createOrReplaceTempView("surfaces")
     val sql = cfg.querySql.getOrElse("SELECT feature_type, count(*) AS cnt FROM footprints GROUP BY 1")
     spark.sql(sql).write.mode("overwrite").parquet(s"${cfg.outputDir}/query_result")
   }

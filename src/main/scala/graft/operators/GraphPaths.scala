@@ -28,7 +28,10 @@ object GraphPaths {
   def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // materialize the edge table ONCE — each round joins the checkpointed
+    // blocks instead of re-running the upstream scan per round
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint(true)
     var frontier = visited
     var d = 0
@@ -40,7 +43,9 @@ object GraphPaths {
         .withColumn("dist", lit(d + 1))
         .localCheckpoint(true)
       frontierN = next.count()
-      visited = visited.unionByName(next).localCheckpoint(true)
+      // no checkpoint needed: a union tree whose leaves are all checkpointed
+      // is recompute-free, and its depth is bounded by maxDepth
+      visited = visited.unionByName(next)
       frontier = next
       d += 1
     }
