@@ -48,10 +48,23 @@ object ScaleBench {
     if (!new java.io.File(s"$knnDir/_SUCCESS").exists()) Bench.stagePoints(s0, nKnn, knnDir)
     s0.stop()
 
+    // fused north-star pipeline stage: PIP + kNN-1 + tile assignment in ONE
+    // map-only pass over the staged points (graft.app.Pipeline.enrich shape,
+    // without the write) — the end-to-end operator the north rule describes
+    def timedEnrich(s: SparkSession): (Long, Long, Double) = {
+      val pts = s.read.parquet(ptsDir)
+      val inRows = pts.count()
+      val t0 = System.nanoTime()
+      val rows = graft.app.Pipeline.enrich(pts, polys).count()
+      (inRows, rows, (System.nanoTime() - t0) / 1e9)
+    }
+
     var in = 0L; var joined = 0L
     var kIn = 0L; var kRows = 0L
+    var eIn = 0L; var eRows = 0L
     val times = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
     val ktimes = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
+    val etimes = scala.collection.mutable.Map(nLow -> List.empty[Double], nHigh -> List.empty[Double])
     for (rep <- 1 to reps; cpus <- Seq(nLow, nHigh)) { // interleaved
       val s = session(cpus)
       Bench.timedPipJoin(s, ptsDir, polys, mode) // per-session JIT warmup
@@ -62,7 +75,10 @@ object ScaleBench {
       val (ki, kr, ksecs) = Bench.timedKnnJoin(s, knnDir, polys)
       kIn = ki; kRows = kr
       ktimes(cpus) = ksecs :: ktimes(cpus)
-      System.err.println(f"[scale] rep=$rep cpus=$cpus pip=$secs%.3f knn=$ksecs%.3f")
+      val (ei, er, esecs) = timedEnrich(s) // warmed by the pip/knn passes
+      eIn = ei; eRows = er
+      etimes(cpus) = esecs :: etimes(cpus)
+      System.err.println(f"[scale] rep=$rep cpus=$cpus pip=$secs%.3f knn=$ksecs%.3f enrich=$esecs%.3f")
       s.stop()
     }
     val t8 = times(nLow).min
@@ -75,8 +91,13 @@ object ScaleBench {
     val kr8 = kIn / kt8
     val kr32 = kIn / kt32
     val keff = kr32 / (4.0 * kr8)
+    val et8 = etimes(nLow).min
+    val et32 = etimes(nHigh).min
+    val er8 = eIn / et8
+    val er32 = eIn / et32
+    val eeff = er32 / (4.0 * er8)
     val json =
-      s"""{"metric":"pip-join scaling efficiency local[$nLow]->local[$nHigh]","value":${f"$eff%.3f"},"unit":"ratio","points":$in,"joined":$joined,"n_low":$nLow,"n_high":$nHigh,"rows_per_sec_low":${f"$r8%.0f"},"rows_per_sec_high":${f"$r32%.0f"},"sec_low":${f"$t8%.3f"},"sec_high":${f"$t32%.3f"},"reps":$reps,"mode":"$mode","knn":{"efficiency":${f"$keff%.3f"},"points":$kIn,"rows":$kRows,"rows_per_sec_low":${f"$kr8%.0f"},"rows_per_sec_high":${f"$kr32%.0f"},"sec_low":${f"$kt8%.3f"},"sec_high":${f"$kt32%.3f"},"all_sec_low":[${ktimes(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_high":[${ktimes(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]},"all_sec_8":[${times(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_32":[${times(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]}"""
+      s"""{"metric":"pip-join scaling efficiency local[$nLow]->local[$nHigh]","value":${f"$eff%.3f"},"unit":"ratio","points":$in,"joined":$joined,"n_low":$nLow,"n_high":$nHigh,"rows_per_sec_low":${f"$r8%.0f"},"rows_per_sec_high":${f"$r32%.0f"},"sec_low":${f"$t8%.3f"},"sec_high":${f"$t32%.3f"},"reps":$reps,"mode":"$mode","knn":{"efficiency":${f"$keff%.3f"},"points":$kIn,"rows":$kRows,"rows_per_sec_low":${f"$kr8%.0f"},"rows_per_sec_high":${f"$kr32%.0f"},"sec_low":${f"$kt8%.3f"},"sec_high":${f"$kt32%.3f"},"all_sec_low":[${ktimes(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_high":[${ktimes(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]},"enrich":{"efficiency":${f"$eeff%.3f"},"points":$eIn,"rows":$eRows,"rows_per_sec_low":${f"$er8%.0f"},"rows_per_sec_high":${f"$er32%.0f"},"sec_low":${f"$et8%.3f"},"sec_high":${f"$et32%.3f"},"all_sec_low":[${etimes(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_high":[${etimes(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]},"all_sec_8":[${times(nLow).reverse.map(t => f"$t%.3f").mkString(",")}],"all_sec_32":[${times(nHigh).reverse.map(t => f"$t%.3f").mkString(",")}]}"""
     println(json)
 
     val md =
@@ -111,6 +132,20 @@ object ScaleBench {
          || throughput @ local[$nLow] | ${f"$kr8%.0f"} rows/s |
          || throughput @ local[$nHigh] | ${f"$kr32%.0f"} rows/s |
          || **scaling efficiency** | **${f"$keff%.3f"}** (target ≥ 0.8) |
+         |
+         |Fused end-to-end north-star stage: PIP + kNN-1 + WMTS tile in ONE
+         |map-only pass (graft.app.Pipeline.enrich, the shape the resumable
+         |pipeline writes), same protocol:
+         |
+         || quantity | value |
+         ||---|---|
+         || points | $eIn |
+         || enriched rows | $eRows |
+         || best wall time @ local[$nLow] | ${f"$et8%.3f"} s |
+         || best wall time @ local[$nHigh] | ${f"$et32%.3f"} s |
+         || throughput @ local[$nLow] | ${f"$er8%.0f"} rows/s |
+         || throughput @ local[$nHigh] | ${f"$er32%.0f"} rows/s |
+         || **scaling efficiency** | **${f"$eeff%.3f"}** (target ≥ 0.8) |
          |
          |Protocol: identical job and staged input at both parallelism levels
          |($nLow vs $nHigh cores = the 1:4 executor ratio; BASELINE.md "Measurement
