@@ -145,7 +145,8 @@ object IceLite {
    * while keeping the partition as the crash-tolerant commit unit (a crash
    * mid-loop leaves a prefix committed; resume stages only the remainder).
    */
-  def writeResumable(df: DataFrame, table: String, partCol: String): (Seq[String], Seq[String]) = {
+  def writeResumable(df: DataFrame, table: String, partCol: String,
+                     inListLimit: Int = 1000): (Seq[String], Seq[String]) = {
     Files.createDirectories(metaDir(table))
     val snap = currentSnapshot(table)
     val all = df.select(col(partCol).cast("string")).distinct()
@@ -156,8 +157,17 @@ object IceLite {
 
     val origCols = df.columns.toSeq
     val stage = s"$table/_icelite_stage"
+    // pending filter: a literal In-list is fine for human-scale partition
+    // counts, but at 10^4+ pending values the expression itself bloats the
+    // plan — switch to a broadcast semi-join on the value set
     val pending = if (skipped.isEmpty) df
-      else df.where(col(partCol).cast("string").isin(todo: _*))
+      else if (todo.size <= inListLimit) df.where(col(partCol).cast("string").isin(todo: _*))
+      else {
+        import df.sparkSession.implicits._
+        val todoDf = todo.toDF("__todo_pv")
+        df.join(org.apache.spark.sql.functions.broadcast(todoDf),
+          col(partCol).cast("string") === col("__todo_pv"), "left_semi")
+      }
     // job 1: stage all pending partitions in one distributed write
     pending.withColumn("__pk", col(partCol).cast("string"))
       .write.mode("overwrite").partitionBy("__pk").parquet(stage)

@@ -109,6 +109,21 @@ class TileIceSpec extends AnyFunSuite {
     assert(w2.isEmpty && s2.toSet === w.toSet)
   }
 
+  test("IceLite: resume via broadcast semi-join path (many pending partitions)") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_semi").toString
+    val table = s"$dir/events_semi"
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val (w1, _) = IceLite.writeResumable(
+      df.where(col("event_type") === "click"), table, "event_type")
+    assert(w1 === Seq("click"))
+    // force the over-limit branch: pending values go through the semi-join
+    val (w2, s2) = IceLite.writeResumable(df, table, "event_type", inListLimit = 0)
+    assert(s2 === Seq("click") && w2.nonEmpty)
+    val back = IceLite.read(spark, table)
+    assert(back.count() === df.count())
+    assert(IceLite.verifyLineage(spark, table, "event_type").forall(_._2))
+  }
+
   test("IceLite: lineage checksum is order/parallelism independent") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val (r1, c1) = IceLite.lineageOf(df.repartition(16))
