@@ -348,6 +348,15 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    "q36_dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clustering: LSH pairs -> connected components ->
+      // one cluster row (root = keeper id, size) — the grouping step a real
+      // dedup pipeline runs before dropping duplicates
+      val pairs = graft.operators.Dedup
+        .lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Dedup.dupClusters(pairs)
+    }),
     "q35_graph_bfs" -> ((s, dir) => {
       // ad-hoc graph-path diagnostics (reference GraphUtils Cypher paths):
       // BFS levels from node 0 over a deterministic 2-out-degree edge table
@@ -419,6 +428,36 @@ object SparkEntry {
   private def l2Sql(a: String, b: String): String =
     s"""list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
                   (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) FOR i IN range(1, 65)])"""
+
+  /** q19's pair generation, shared verbatim by the q36 clustering oracle. */
+  private val q19Sql: String =
+    """WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+                              string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3),
+         sig AS (
+           SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
+                  min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
+           FROM sh GROUP BY 1),
+         bk AS (
+           SELECT doc_id, 0 AS band, m1 AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, m2 FROM sig
+           UNION ALL SELECT doc_id, 2, m3 FROM sig
+           UNION ALL SELECT doc_id, 3, m4 FROM sig),
+         small AS (
+           SELECT band, bucket FROM bk GROUP BY 1, 2 HAVING count(*) <= 100),
+         bks AS (SELECT bk.* FROM bk JOIN small USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bks a JOIN bks b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jac
+         FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+         WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) >= 0.5"""
 
   private def stopSql(toks: String, words: Seq[String]): String =
     words.map(w => s"CASE WHEN list_contains($toks, '$w') THEN 1 ELSE 0 END")
@@ -668,34 +707,17 @@ object SparkEntry {
          SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
-    "q19_lsh_pairs" ->
-      """WITH toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
-                              string_split(lower(text), ' ') AS w FROM documents),
-         sh AS (
-           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-           FROM toks WHERE len(w) >= 3),
-         sig AS (
-           SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
-                  min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
-           FROM sh GROUP BY 1),
-         bk AS (
-           SELECT doc_id, 0 AS band, m1 AS bucket FROM sig
-           UNION ALL SELECT doc_id, 1, m2 FROM sig
-           UNION ALL SELECT doc_id, 2, m3 FROM sig
-           UNION ALL SELECT doc_id, 3, m4 FROM sig),
-         small AS (
-           SELECT band, bucket FROM bk GROUP BY 1, 2 HAVING count(*) <= 100),
-         bks AS (SELECT bk.* FROM bk JOIN small USING (band, bucket)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bks a JOIN bks b ON a.band = b.band AND a.bucket = b.bucket
-                                AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b,
-                CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
-                CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jac
-         FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
-         WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) >= 0.5""",
+    "q19_lsh_pairs" -> q19Sql,
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE q19 AS ($q19Sql),
+         pairs AS (SELECT doc_a AS a, doc_b AS b FROM q19),
+         ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         reach AS (
+           SELECT a AS node, b AS reach FROM ed
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN ed e ON r.reach = e.a),
+         lab AS (SELECT node, least(node, min(reach)) AS root FROM reach GROUP BY node)
+         SELECT root AS cluster_root, count(*) AS csize FROM lab GROUP BY 1""",
     "q26_quality" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -228,6 +228,68 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-duplicate pair graph — the grouping
+   * step every real dedup pipeline needs (keep ONE document per transitive
+   * duplicate CLUSTER, not per pair). Hash-min label propagation: each
+   * round every node takes the minimum root among itself and its
+   * neighbours; converges in O(component diameter) rounds. Each round is
+   * one equi-join + one min-aggregation over (node, root) scalars, eagerly
+   * checkpointed — the standard distributed CC shape without dropping to
+   * RDD/GraphX. Input pairs (a, b); output (node, root) with root = min
+   * node id of the component.
+   */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("root", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (i < maxIters && changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("root")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("root").as("nbr_root"))
+      val next = labels.select(col("node"), col("root").as("old_root"))
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("old_root"), coalesce(col("nbr_root"), col("old_root"))).as("root"),
+          col("old_root"))
+        .localCheckpoint(true)
+      changed = next.where(col("root") =!= col("old_root")).count()
+      labels = next.select("node", "root")
+      i += 1
+    }
+    // converge or fail loudly — min-label propagation needs O(diameter)
+    // rounds; returning unconverged labels would silently split clusters
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
+    labels
+  }
+
+  /** Per-cluster summary: (cluster_root = min doc id, csize). */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("root").as("cluster_root"))
+      .agg(count(lit(1)).as("csize"))
+
+  /** Driver-side union-find oracle (tests). */
+  def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  /**
    * Banded sign-bit LSH: `bands` independent bucket keys, each from `planes`
    * seeded hyperplanes (a pair within cosine θ collides in a band with prob
    * (1 − acos(θ)/π)^planes; missing ALL bands is exponentially unlikely).

@@ -182,6 +182,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.size === 40)
   }
 
+  test("connectedComponents == union-find on random pair graphs (+ a long chain)") {
+    val rnd = new scala.util.Random(5)
+    // random sparse graph + a 40-node path (forces many propagation rounds)
+    val pairs: Seq[(Long, Long)] =
+      (0 until 150).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter(p => p._1 != p._2) ++
+      (1000L until 1040L).sliding(2).map(w => (w(1), w(0))).toSeq
+    val got = Dedup.connectedComponents(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val want = Dedup.bruteComponents(pairs)
+    assert(got === want)
+    // cluster summary: sizes per root match, chain collapses to one cluster
+    val cs = Dedup.dupClusters(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val wantSizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(cs === wantSizes)
+    assert(cs(1000L) === 40L)
+  }
+
   test("embedding near-dup: planted duplicate vectors found") {
     val base = embs.limit(40).select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect()
