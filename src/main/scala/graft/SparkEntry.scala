@@ -348,6 +348,25 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    "q37_dedup_keep_best" -> ((s, dir) => {
+      // the curation step: among transitive near-duplicates keep the
+      // highest-quality document (singletons keep themselves) — composes
+      // three independently oracle-verified pieces (q19 pairs, q36
+      // clusters, q26 quality)
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup
+        .lshPairs(docs, perms = 4, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val cc = graft.operators.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val quality = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityColumns(col("text")).last)
+      val labeled = quality.join(cc, Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("root"), col("doc_id")))
+      val w = Window.partitionBy("root").orderBy(col("quality").desc, col("doc_id").asc)
+      labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("root").as("cluster_root"), col("doc_id").as("keeper"), col("quality"))
+    }),
     "q36_dedup_clusters" -> ((s, dir) => {
       // transitive near-dup clustering: LSH pairs -> connected components ->
       // one cluster row (root = keeper id, size) — the grouping step a real
@@ -458,6 +477,15 @@ object SparkEntry {
          FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
          WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) >= 0.5"""
+
+  /** q26's quality score expression, shared verbatim by the q37 oracle. */
+  private val qualitySql: String =
+    """0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0::DOUBLE) +
+                0.3::DOUBLE * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                               CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+                0.2::DOUBLE * least(1.0::DOUBLE,
+                               ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
+                                CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE)"""
 
   private def stopSql(toks: String, words: Seq[String]): String =
     words.map(w => s"CASE WHEN list_contains($toks, '$w') THEN 1 ELSE 0 END")
@@ -718,6 +746,22 @@ object SparkEntry {
            SELECT r.node, e.b FROM reach r JOIN ed e ON r.reach = e.a),
          lab AS (SELECT node, least(node, min(reach)) AS root FROM reach GROUP BY node)
          SELECT root AS cluster_root, count(*) AS csize FROM lab GROUP BY 1""",
+    "q37_dedup_keep_best" ->
+      s"""WITH RECURSIVE q19 AS ($q19Sql),
+         pairs AS (SELECT doc_a AS a, doc_b AS b FROM q19),
+         ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         reach AS (
+           SELECT a AS node, b AS reach FROM ed
+           UNION
+           SELECT r.node, e.b FROM reach r JOIN ed e ON r.reach = e.a),
+         lab AS (SELECT node, least(node, min(reach)) AS root FROM reach GROUP BY node),
+         q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         labeled AS (
+           SELECT q.doc_id, coalesce(lab.root, q.doc_id) AS root, q.quality
+           FROM q LEFT JOIN lab ON q.doc_id = lab.node)
+         SELECT root AS cluster_root, doc_id AS keeper, quality FROM (
+           SELECT *, row_number() OVER (PARTITION BY root ORDER BY quality DESC, doc_id) AS rn
+           FROM labeled) WHERE rn = 1""",
     "q26_quality" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
