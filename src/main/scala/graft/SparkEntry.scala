@@ -348,6 +348,11 @@ object SparkEntry {
         .groupBy("user_id").agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    "q38_split" -> ((s, dir) => {
+      // deterministic content-derived train/val/test split (80/10/10)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.hashSplit(col("doc_id")).as("split"))
+    }),
     "q37_dedup_keep_best" -> ((s, dir) => {
       // the curation step: among transitive near-duplicates keep the
       // highest-quality document (singletons keep themselves) — composes
@@ -555,6 +560,17 @@ object SparkEntry {
            SELECT probe_id, vec_id,
                   CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rnk
            FROM scored) WHERE rnk <= 5""",
+    "q38_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         b AS (SELECT doc_id,
+                 ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+                  (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+                  (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) %% 100 AS bucket
+               FROM h)
+         SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                             WHEN bucket < 90 THEN 'val'
+                             ELSE 'test' END AS split FROM b""",
     "q35_graph_bfs" ->
       """WITH RECURSIVE e AS (
            SELECT p_partkey %% 500 AS src, (p_partkey * 7 + 1) %% 500 AS dst FROM part

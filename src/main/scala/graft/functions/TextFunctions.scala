@@ -102,6 +102,21 @@ object TextFunctions {
       tsV.as("ts_v"))
   }
 
+  /**
+   * Deterministic train/val/test split: md5 of the row id → first 4 hex
+   * chars → bucket in [0,100). Content-derived (no RNG), so the split is
+   * stable across runs, partitions and cluster sizes — the property a
+   * training-data pipeline needs so re-runs never leak val rows into train.
+   * ANSI-expressible (DuckDB-oracle-checked as q38).
+   */
+  def hashSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)
