@@ -162,23 +162,38 @@ object Bench {
         .select("image_id", "feature_id").count()
     }
 
-    // per-query seconds: MEDIAN of `reps` repetitions (this host shares CPUs
-    // with a bursty neighbor — a single contaminated shot misreports a query
-    // by 3-10x; the median of 3 is stable in both quiet and noisy windows)
+    // per-query seconds: INTERLEAVED repetitions (full passes over the whole
+    // query set, not rep-loops per query), reporting the per-query MINIMUM.
+    // Rationale: this host shares CPUs with a bursty neighbor — back-to-back
+    // reps of one query all land inside the same contention burst, so even
+    // their median misreports by 3-10x; interleaving spreads a query's reps
+    // minutes apart so at least one usually lands in a quiet window, and the
+    // minimum is the right estimator for "what the engine costs" (noise is
+    // strictly additive). A query that throws gets -1 and an error count —
+    // never a misleadingly fast time-to-failure sample.
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errors = scala.collection.mutable.Map.empty[String, Int]
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
+      else errors(name) = errors.getOrElse(name, 0) + 1
+    }
+    val results = names.map { case (name, _) =>
+      name -> samples.get(name).map(_.min).getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = names.flatMap { case (name, _) =>
+      errors.get(name).map(n => "\"" + name + "\":" + n)
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"spatial-join rows/sec (PIP, 101 LoD2 footprints)","value":${f"$rowsPerSec%.0f"},"unit":"rows/sec","queries":$qs,"query_reps":$reps,"sf":"$sfDir","pip":{"points":$inRows,"joined":$joined,"secs":${f"$secs%.3f"}},"knn":{"rows":$knnRows,"secs":${f"$knnSecs%.3f"},"rows_per_sec":${f"${inRows / knnSecs}%.0f"}},"tiles":{"tiles":$tileRows,"secs":${f"$tileSecs%.3f"},"rows_per_sec":${f"${inRows / tileSecs}%.0f"}},"knn_ring":{"rows":$ringRows,"secs":${f"$ringSecs%.3f"}},"pip_full_schema":{"points":$nImg,"joined":$fullJoined,"secs":${f"$fullSecs%.3f"},"rows_per_sec":${f"${nImg / fullSecs}%.0f"}},"total_query_sec":${f"$total%.3f"}}""")
+      s"""{"metric":"spatial-join rows/sec (PIP, 101 LoD2 footprints)","value":${f"$rowsPerSec%.0f"},"unit":"rows/sec","queries":$qs,"query_errors":$errJson,"query_reps":$reps,"sf":"$sfDir","pip":{"points":$inRows,"joined":$joined,"secs":${f"$secs%.3f"}},"knn":{"rows":$knnRows,"secs":${f"$knnSecs%.3f"},"rows_per_sec":${f"${inRows / knnSecs}%.0f"}},"tiles":{"tiles":$tileRows,"secs":${f"$tileSecs%.3f"},"rows_per_sec":${f"${inRows / tileSecs}%.0f"}},"knn_ring":{"rows":$ringRows,"secs":${f"$ringSecs%.3f"}},"pip_full_schema":{"points":$nImg,"joined":$fullJoined,"secs":${f"$fullSecs%.3f"},"rows_per_sec":${f"${nImg / fullSecs}%.0f"}},"total_query_sec":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Per-round eager materialization for iterative operators (BFS levels,
+ * connected components, kNN ring expansion). Each round's small scalar state
+ * must be cut from its lineage, or every action re-runs the whole round chain
+ * (recompute amplification across rounds). Two modes:
+ *
+ *  - `None` (default): `localCheckpoint(eager = true)` — blocks live in
+ *    executor block managers. Fastest, and exactly right in local mode; but
+ *    on a real cluster a lost executor drops its blocks and the iteration
+ *    aborts mid-job (local checkpoints are not fault tolerant by contract).
+ *  - `Some(dir)`: reliable `checkpoint(eager = true)` into `dir` (HDFS/S3/
+ *    NFS-backed). One extra write+read of each round's state per round buys
+ *    executor-loss survival — the form a 1000-executor cluster runs.
+ */
+object Checkpoints {
+
+  /** Returns the per-round materialization function for this job. */
+  def strategy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        anchor.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None =>
+        df => df.localCheckpoint(eager = true)
+    }
+}

@@ -97,10 +97,18 @@ object AnnSearch {
     val spark = table.sparkSession
     import spark.implicits._
     // bounded, deterministic fit sample: an id-range predicate pushes to the
-    // scan (the previous orderBy().limit() was a full TakeOrdered pass)
-    val sample = table.select(col(idCol), col(vecCol))
-      .where(col(idCol) < lit(math.max(1000, nlist * 100).toLong))
-      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    // scan (an orderBy().limit() is a full TakeOrdered pass) — but that
+    // assumes ids dense from 0; with sparse/offset ids the range comes back
+    // short and we fall back to TakeOrdered rather than fit zero centroids
+    val sampleN = math.max(1000, nlist * 100)
+    val ranged = table.select(col(idCol), col(vecCol))
+      .where(col(idCol) < lit(sampleN.toLong))
+      .as[(Long, Array[Float])].collect()
+    val sample = (if (ranged.length >= nlist) ranged
+      else table.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(sampleN)
+        .as[(Long, Array[Float])].collect()).sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, s"ivfTopK: table has no rows to fit centroids from")
     val centroids = kmeans(sample, nlist, iters)
     val bc = spark.sparkContext.broadcast(centroids)
     val ivf = new org.apache.spark.sql.graft.IvfCentroids(

@@ -237,25 +237,30 @@ object Dedup {
    * checkpointed — the standard distributed CC shape without dropping to
    * RDD/GraphX. Input pairs (a, b); output (node, root) with root = min
    * node id of the component.
+   *
+   * `checkpointDir`: see [[graft.core.Checkpoints]] — unset uses local
+   * checkpoints (fastest; local-mode/testing), set uses reliable checkpoints
+   * that survive executor loss on a real cluster.
    */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ck = graft.core.Checkpoints.strategy(pairs, checkpointDir)
+    val edges = ck(pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("root", col("node")).localCheckpoint(true)
+      .distinct())
+    var labels = ck(edges.select(col("a").as("node")).distinct()
+      .withColumn("root", col("node")))
     var changed = 1L
     var i = 0
     while (i < maxIters && changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("node").as("b"), col("root")), Seq("b"))
         .groupBy(col("a").as("node")).agg(min("root").as("nbr_root"))
-      val next = labels.select(col("node"), col("root").as("old_root"))
+      val next = ck(labels.select(col("node"), col("root").as("old_root"))
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("old_root"), coalesce(col("nbr_root"), col("old_root"))).as("root"),
-          col("old_root"))
-        .localCheckpoint(true)
+          col("old_root")))
       changed = next.where(col("root") =!= col("old_root")).count()
       labels = next.select("node", "root")
       i += 1

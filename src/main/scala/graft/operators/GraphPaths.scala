@@ -15,33 +15,44 @@ import org.apache.spark.sql.functions._
  *
  * Each round is one equi-join shuffle on the node key (the standard
  * distributed BFS shape — what GraphX/Pregel does under the hood, without
- * dropping to RDDs); the frontier and visited sets hold (node, dist)
+ * dropping to RDDs); the frontier and visited sets hold (node, dist, pred)
  * scalars only and are eagerly checkpointed, so lineage stays O(1) per
  * round. Rounds are bounded by `maxDepth`.
+ *
+ * `checkpointDir` on the iterative entry points: see
+ * [[graft.core.Checkpoints]] — unset uses local checkpoints (fastest;
+ * local-mode/testing), set uses reliable checkpoints that survive executor
+ * loss on a real cluster.
  */
 object GraphPaths {
 
   /**
-   * BFS levels: every node reachable from `source` within `maxDepth` hops,
-   * with its minimal hop distance. Output columns (node: long, dist: int).
+   * BFS levels + deterministic predecessor: every node reachable from
+   * `source` within `maxDepth` hops, with its minimal hop distance and the
+   * MINIMUM parent node id among its distance-(d−1) neighbours (`pred` is
+   * null for the source). The min-parent rule makes the shortest-path tree —
+   * and therefore [[shortestPath]]'s reconstruction — deterministic and
+   * ANSI-SQL-replicable (q41's DuckDB oracle applies the identical rule).
+   * Output columns (node: long, dist: int, pred: long).
    */
-  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+  def bfsWithPred(edges: DataFrame, source: Long, maxDepth: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     // materialize the edge table ONCE — each round joins the checkpointed
     // blocks instead of re-running the upstream scan per round
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint(true)
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var visited = ck(Seq(source).toDF("node")
+      .withColumn("dist", lit(0)).withColumn("pred", lit(null).cast("long")))
     var frontier = visited
     var d = 0
     var frontierN = 1L
     while (d < maxDepth && frontierN > 0) {
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
+      val next = ck(frontier.join(e, frontier("node") === e("src"))
+        .groupBy(e("dst").as("node")).agg(min(e("src")).as("pred"))
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(d + 1))
-        .localCheckpoint(true)
+        .select(col("node"), lit(d + 1).as("dist"), col("pred")))
       frontierN = next.count()
       // no checkpoint needed: a union tree whose leaves are all checkpointed
       // is recompute-free, and its depth is bounded by maxDepth
@@ -52,12 +63,54 @@ object GraphPaths {
     visited
   }
 
+  /**
+   * BFS levels: every node reachable from `source` within `maxDepth` hops,
+   * with its minimal hop distance. Output columns (node: long, dist: int).
+   */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int,
+                checkpointDir: Option[String] = None): DataFrame =
+    bfsWithPred(edges, source, maxDepth, checkpointDir).select("node", "dist")
+
   /** Shortest-path length from src to dst (hops), if within maxDepth. */
   def shortestPathLength(edges: DataFrame, source: Long, target: Long,
                          maxDepth: Int): Option[Int] =
     bfsLevels(edges, source, maxDepth)
       .where(col("node") === target)
       .collect().headOption.map(_.getInt(1))
+
+  /**
+   * Shortest path WITH node-sequence reconstruction — parity with the
+   * reference's `findShortestPath` (`GraphUtils.java:280-344`), which returns
+   * the actual node/label sequence, not just the length. Output: one row per
+   * path position, (pos: int, node: long), pos 0 = `source` … pos dist =
+   * `target`; EMPTY if `target` is unreachable within `maxDepth`. Among equal-
+   * length paths the min-parent tree picks a unique deterministic one.
+   *
+   * The backtrack is dist(target) ≤ maxDepth tiny joins (a 1-row walk side
+   * against the checkpointed level table — Spark broadcasts the walk side),
+   * not a driver-side loop over collected parents: the pred table itself can
+   * be billions of rows at scale and never leaves the executors.
+   */
+  def shortestPath(edges: DataFrame, source: Long, target: Long, maxDepth: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val levels = bfsWithPred(edges, source, maxDepth, checkpointDir)
+    val distT = levels.where(col("node") === target)
+      .select("dist").collect().headOption.map(_.getInt(0))
+    distT match {
+      case None => Seq.empty[(Int, Long)].toDF("pos", "node")
+      case Some(dT) =>
+        var walk = Seq(target).toDF("cur").withColumn("path", array(lit(target)))
+        for (_ <- 1 to dT) {
+          walk = walk
+            .join(levels.select(col("node").as("cur"), col("pred")), Seq("cur"))
+            .select(col("pred").as("cur"),
+              concat(array(col("pred")), col("path")).as("path"))
+        }
+        walk.select(posexplode(col("path")).as(Seq("pos", "node")))
+    }
+  }
 
   /** Driver-side brute-force oracle (tests). */
   def bruteBfs(edges: Seq[(Long, Long)], source: Long, maxDepth: Int): Map[Long, Int] = {
@@ -73,5 +126,19 @@ object GraphPaths {
       d += 1
     }
     dist
+  }
+
+  /** Driver-side min-parent shortest-path oracle (tests): the unique path the
+    * min-parent tree induces, or empty if unreachable within maxDepth. */
+  def bruteShortestPath(edges: Seq[(Long, Long)], source: Long, target: Long,
+                        maxDepth: Int): Seq[Long] = {
+    val dist = bruteBfs(edges, source, maxDepth)
+    if (!dist.contains(target)) return Seq.empty
+    val preds = edges.filter(e => dist.contains(e._2)).groupBy(_._2).map { case (dst, xs) =>
+      dst -> xs.map(_._1).filter(s => dist.get(s).contains(dist(dst) - 1))
+    }
+    var path = List(target)
+    while (path.head != source) path ::= preds(path.head).min
+    path
   }
 }

@@ -66,14 +66,28 @@ object KnnJoin {
    * Distributed ring-expansion path for huge target sides: per round r,
    * unfinished probes explode their ring-r cells and equi-join targets
    * bucketed by cell; terminate when the k-th best distance beats the ring
-   * bound. Candidate accumulation is a union + window top-k per probe.
+   * bound.
+   *
+   * The accumulator is pruned to the running top-k per probe after every
+   * round's ranking — provably safe because d2 is static, so a candidate
+   * outside the current top-k can never re-enter — and finished probes leave
+   * the loop entirely (their final top-k rows move to a result block). Each
+   * round's sort volume is therefore bounded by k × pending + new candidates,
+   * instead of re-sorting every candidate ever seen for every probe ever
+   * submitted (the O(rounds × total-candidates) shape this replaces).
+   *
+   * `checkpointDir`: see [[graft.core.Checkpoints]] — unset uses local
+   * checkpoints (fastest; local-mode/testing), set uses reliable checkpoints
+   * that survive executor loss on a real cluster.
    */
   def ringJoin(probes: DataFrame, targets: DataFrame,
                k: Int, res: Int = 12, maxR: Int = 16,
-               ringsPerRound: Int = 2): DataFrame = {
+               ringsPerRound: Int = 2,
+               checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     graft.functions.GeoFunctions.register(spark)
+    val ck = graft.core.Checkpoints.strategy(probes, checkpointDir)
     val t = targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
@@ -81,13 +95,17 @@ object KnnJoin {
       .select(col("probe_id"), col("x"), col("y"), col("target_id"),
         ((col("cx") - col("x")) * (col("cx") - col("x")) +
          (col("cy") - col("y")) * (col("cy") - col("y"))).as("d2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
     // eager checkpoints: each round's accumulator and pending set materialize
     // ONCE and truncate lineage — a lazy checkpoint re-ran the whole round
     // chain on every action (recompute amplification across rounds)
-    var pending = probes.select(col("probe_id").cast("string"),
-      col("x").cast("double"), col("y").cast("double")).localCheckpoint(true)
+    var pending = ck(probes.select(col("probe_id").cast("string"),
+      col("x").cast("double"), col("y").cast("double")))
     var nPending = pending.count() // the single per-round done-probe pass
+    // acc = running top-k candidates of UNFINISHED probes only (no rnk col)
     var acc: DataFrame = candOf(pending.limit(0).crossJoin(t.limit(0)))
+    // finalized (probe_id .. rnk) blocks — checkpointed leaves, unioned once
+    var doneParts: List[DataFrame] = Nil
     var r = 0
     while (r <= maxR && nPending > 0) {
       // visit `ringsPerRound` rings per round: each round costs a fixed
@@ -99,26 +117,31 @@ object KnnJoin {
         graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(rr))): _*))
       val cand = candOf(pending.withColumn("pcell", explode(ringCells))
         .join(t, col("pcell") === col("tcell")))
-      acc = acc.unionByName(cand).localCheckpoint(true)
-      val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
-      val ranked = acc.withColumn("rnk", row_number().over(w))
+      // rank old top-k ∪ new candidates, keep top-k — the only rows a later
+      // round could ever emit (d2 never changes; candidates only accumulate)
+      val topk = ck(acc.unionByName(cand)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k))
       val bound = ringLowerBound(res, rHi + 1)
-      val doneProbes = ranked.where(col("rnk") === k && sqrt(col("d2")) < bound)
+      val doneProbes = topk.where(col("rnk") === k && sqrt(col("d2")) < bound)
         .select(col("probe_id").as("done_id"))
-      pending = pending.join(doneProbes, col("probe_id") === col("done_id"), "left_anti")
-        .localCheckpoint(true)
+      // finished probes exit the loop: their top-k (incl. rnk) is final —
+      // no later ring can beat the bound — and never re-sorts again
+      doneParts ::= topk.join(doneProbes, col("probe_id") === col("done_id"), "left_semi")
+      acc = topk.join(doneProbes, col("probe_id") === col("done_id"), "left_anti").drop("rnk")
+      pending = ck(pending.join(doneProbes, col("probe_id") === col("done_id"), "left_anti"))
       nPending = pending.count()
       r = rHi + 1
     }
-    if (nPending > 0) {
+    val openRows = if (nPending > 0) {
       // ring budget exhausted with probes still open (far-field stragglers —
       // by construction a small set): exact fallback join instead of a
       // silently truncated top-k; distinct() drops the re-met candidates
       // (duplicate rows are identical in every column, scalars only)
-      acc = acc.unionByName(candOf(pending.crossJoin(t))).distinct()
-    }
-    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
-    acc.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      acc.unionByName(candOf(pending.crossJoin(t))).distinct()
+    } else acc // empty: every probe finished through the ring bound
+    val tail = openRows.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    // union tree of checkpointed leaves (+ the tail) — recompute-free
+    doneParts.foldLeft(tail)(_ unionByName _)
   }
 
   /** Driver-side brute-force oracle (tests). */

@@ -63,9 +63,14 @@ object TileAssign {
    */
   def auto(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int],
            broadcastLimit: Long = 2000000L): DataFrame = {
-    val ftRows = featureTiles(fps, zooms).count()
-    if (ftRows <= broadcastLimit) assignBroadcast(points, fps, zooms)
-    else assignShuffle(points, fps, zooms)
+    // cache the exploded small side so the sizing count and the join read
+    // one materialization (cache, not localCheckpoint: lineage survives
+    // executor loss, and the side is small by definition here)
+    val ft = featureTiles(fps, zooms).cache()
+    if (ft.count() <= broadcastLimit)
+      pointTiles(points, zooms).join(broadcast(ft), Seq("zoom", "tile_id"))
+    else
+      pointTiles(points, zooms).hint("merge").join(ft, Seq("zoom", "tile_id"))
   }
 
   /** Deterministic top-k rows per (zoom, tile). */

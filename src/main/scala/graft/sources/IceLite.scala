@@ -149,8 +149,13 @@ object IceLite {
                      inListLimit: Int = 1000): (Seq[String], Seq[String]) = {
     Files.createDirectories(metaDir(table))
     val snap = currentSnapshot(table)
-    val all = df.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val allRaw = df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    // null partition values have no stable identity in the manifest (and no
+    // readable path segment) — reject up front instead of NPE-ing mid-commit
+    require(!allRaw.contains(null),
+      s"IceLite: null value in partition column '$partCol' — map nulls to a sentinel first")
+    val all = allRaw.sorted.toSeq
     val skipped = all.filter(snap.committedSet.contains)
     val todo = all.filterNot(snap.committedSet.contains)
     if (todo.isEmpty) return (Seq.empty, skipped)
@@ -187,10 +192,14 @@ object IceLite {
     // the snapshot pointer once per partition (the crash-tolerant unit)
     var current = snap
     todo.foreach { pv =>
-      // the staged dir name uses Spark's partitionBy escaping; the final dir
-      // name uses escapePart (same + dot-only names encoded)
-      val from = Paths.get(stage, "__pk=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
+      // the staged dir name uses Spark's partitionBy naming — which maps the
+      // EMPTY string (like null) to __HIVE_DEFAULT_PARTITION__, not to
+      // escapePathName("") — while the final dir name uses escapePart
+      // (same escaping + dot-only/empty names encoded)
+      val from = Paths.get(stage, "__pk=" + (if (pv.isEmpty)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv)))
       val to = Paths.get(table, "data", escapePart(pv))
       Files.createDirectories(to.getParent)
       if (Files.exists(to)) deleteRecursive(to) // re-run after crash-before-commit
@@ -205,8 +214,12 @@ object IceLite {
   }
 
   private def deleteRecursive(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursive(_))
+    if (Files.isDirectory(p)) {
+      // Files.list must be closed explicitly or each visited directory leaks
+      // an fd until GC — a stage dir with thousands of partitions hits ulimit
+      val s = Files.list(p)
+      try s.forEach(deleteRecursive(_)) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 

@@ -55,9 +55,18 @@ object EventStream {
    * below the watermark is folded into the session counters (so out-of-order
    * arrivals ACROSS micro-batches sort correctly before the gap rule applies —
    * a naive running fold would move `lastTs` backwards and merge sessions).
-   * Exactly ONE final `UserSessions` row is emitted per user, when the
-   * watermark passes their last event + gap — an Append-mode-safe contract
-   * (no conflicting partial rows reach the sink).
+   *
+   * Output contract (Append-safe): each emitted row finalizes one activity
+   * EPOCH of a user — the span ending when the watermark passes their last
+   * event + gap and state is removed. A long-lived stream can emit MORE THAN
+   * ONE row per user: if the user returns after a timeout, fresh state opens
+   * a new epoch and eventually emits another row. Consumers must therefore
+   * SUM `n_sessions`/`n_events` per user, never key on user_id uniquely.
+   * The summed totals equal the batch q25 answer: a post-timeout event is
+   * admissible only with ts ≥ watermark > lastTs + gap, so the epoch boundary
+   * always coincides with a session boundary — no session is ever split
+   * across two rows, and no event is counted twice (each buffered event is
+   * folded exactly once, either at ripeness or at timeout drain).
    */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
                  watermarkDelay: String = "30 minutes"): DataFrame = {

@@ -284,18 +284,23 @@ case class HexRingExpr(first: Expression, second: Expression,
   override def inputTypes: Seq[AbstractDataType] =
     Seq(DoubleType, DoubleType, IntegerType, IntegerType)
   override def nullSafeEval(x: Any, y: Any, res: Any, r: Any): Any =
-    HexRingExpr.eval(x.asInstanceOf[Double], y.asInstanceOf[Double],
+    HexRingKernel.eval(x.asInstanceOf[Double], y.asInstanceOf[Double],
       res.asInstanceOf[Int], r.asInstanceOf[Int])
+  // NB: the kernel must live in a STANDALONE object — a case-class companion
+  // gets no static forwarder for `eval` (the class inherits eval(InternalRow)
+  // from Expression, which suppresses the forwarder), so generated Java code
+  // calling HexRingExpr.eval failed janino compilation and the whole Generate
+  // stage silently fell back to interpreted eval
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (x, y, res, r) =>
-      s"org.apache.spark.sql.graft.HexRingExpr.eval($x, $y, $res, $r)")
+      s"org.apache.spark.sql.graft.HexRingKernel.eval($x, $y, $res, $r)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
   override def prettyName: String = "hex_ring"
 }
 
-object HexRingExpr {
+object HexRingKernel {
   def eval(x: Double, y: Double, res: Int, r: Int): ArrayData = {
     val c0 = HexGrid.encode(x, y, res)
     val cells = if (r == 0) Array(c0) else HexGrid.ring(c0, r)

@@ -38,4 +38,36 @@ class GraphPathsSpec extends AnyFunSuite {
     val got = GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap
     assert(got === Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2))
   }
+
+  test("shortestPath reconstructs the min-parent node sequence (== brute oracle)") {
+    val e = edges.toDF("src", "dst")
+    val dist = GraphPaths.bruteBfs(edges, 0L, 8)
+    // a handful of reachable targets across distances + one unreachable
+    val targets = dist.groupBy(_._2).values.map(_.keys.min).toSeq.sorted
+    for (t <- targets) {
+      val got = GraphPaths.shortestPath(e, 0L, t, maxDepth = 8)
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      val want = GraphPaths.bruteShortestPath(edges, 0L, t, 8)
+      assert(got === want, s"target=$t")
+      assert(got.head === 0L && got.last === t && got.size === dist(t) + 1)
+    }
+    val unreachable = (0L until 300L).find(n => !dist.contains(n)).get
+    assert(GraphPaths.shortestPath(e, 0L, unreachable, 8).count() === 0)
+  }
+
+  test("reliable-checkpoint mode (executor-loss-safe) gives identical results") {
+    // checkpointDir routes every per-round materialization through reliable
+    // checkpoints (survives executor loss on a real cluster, where a lost
+    // executor invalidates localCheckpoint blocks and aborts the iteration)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val e = edges.toDF("src", "dst")
+    val local = GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap
+    val reliable = GraphPaths.bfsLevels(e, 0L, 8, checkpointDir = Some(ckDir))
+      .as[(Long, Int)].collect().toMap
+    assert(reliable === local)
+    // the checkpoint dir was actually used (RDD checkpoint files on disk)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "reliable checkpoint mode must write checkpoint files")
+  }
 }

@@ -76,6 +76,18 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(gotRing === want, "ringJoin must finish pending probes exactly at the maxR cap")
   }
 
+  test("ringJoin with reliable checkpoints (executor-loss-safe) == brute force") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ring_ck").toString
+    val want = KnnJoin.bruteForce(probes.take(40), targets, 3).toSet
+    val got = KnnJoin.ringJoin(
+      probes.take(40).toDF("probe_id", "x", "y"),
+      targets.toDF("target_id", "cx", "cy"), k = 3, res = 11, maxR = 24,
+      checkpointDir = Some(ckDir))
+      .select("probe_id", "target_id", "d2", "rnk")
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(got === want)
+  }
+
   test("ringLowerBound is a true lower bound (random sampling)") {
     val res = 11
     val r2 = new scala.util.Random(7)

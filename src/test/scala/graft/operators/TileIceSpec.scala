@@ -109,6 +109,27 @@ class TileIceSpec extends AnyFunSuite {
     assert(w2.isEmpty && s2.toSet === w.toSet)
   }
 
+  test("IceLite: empty-string partition value commits (Hive default-partition naming); null rejected") {
+    // Spark's partitionBy names the empty value __HIVE_DEFAULT_PARTITION__,
+    // not escapePathName("") — the staged-dir move must follow that naming
+    val dir = java.nio.file.Files.createTempDirectory("icelite_empty").toString
+    val table = s"$dir/t"
+    val df = Seq(("", 1L), ("", 2L), ("p", 3L)).toDF("part", "v")
+    val (w, _) = IceLite.writeResumable(df, table, "part")
+    assert(w.toSet === Set("", "p"))
+    assert(IceLite.read(spark, table).count() === 3)
+    val audit = IceLite.verifyLineage(spark, table, "part")
+    assert(audit.toMap === Map("" -> true, "p" -> true), s"audit: $audit")
+    val (w2, s2) = IceLite.writeResumable(df, table, "part")
+    assert(w2.isEmpty && s2.toSet === Set("", "p"))
+    // null partition values fail loudly up front, not mid-commit
+    val withNull = Seq((Option.empty[String], 1L), (Some("x"), 2L)).toDF("part", "v")
+    val ex = intercept[IllegalArgumentException] {
+      IceLite.writeResumable(withNull, s"$dir/t2", "part")
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
   test("IceLite: resume via broadcast semi-join path (many pending partitions)") {
     val dir = java.nio.file.Files.createTempDirectory("icelite_semi").toString
     val table = s"$dir/events_semi"
