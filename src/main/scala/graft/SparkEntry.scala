@@ -391,6 +391,48 @@ object SparkEntry {
         ((col("p_partkey") + 13) % 500).as("dst"))
       graft.operators.GraphPaths.bfsLevels(e1.unionByName(e2), source = 0L, maxDepth = 8)
     }),
+    "q41_shortest_path" -> ((s, dir) => {
+      // shortest path WITH node-sequence reconstruction (reference
+      // GraphUtils.findShortestPath, GraphUtils.java:280-344) over the q35
+      // edge table; min-parent tree makes the path unique + SQL-replicable
+      val p = t(s, dir, "part")
+      val e1 = p.select((col("p_partkey") % 500).as("src"),
+        ((col("p_partkey") * 7 + 1) % 500).as("dst"))
+      val e2 = p.select(((col("p_partkey") * 3) % 500).as("src"),
+        ((col("p_partkey") + 13) % 500).as("dst"))
+      graft.operators.GraphPaths.shortestPath(e1.unionByName(e2),
+        source = 0L, target = 4L, maxDepth = 8)
+    }),
+    "q39_simhash_pairs" -> ((s, dir) => {
+      // the pigeonhole-banded SimHash pair join under the hard gate: the
+      // DuckDB oracle recomputes the FULL n² Hamming-threshold pair set, so a
+      // green row proves the chunk equi-join loses no candidates (as q22
+      // proved for cosine LSH). maxHamming=6 -> 7 disjoint 9-bit chunks.
+      val sigs = graft.operators.Dedup.simhash(t(s, dir, "documents"))
+      graft.operators.Dedup.simhashPairs(sigs, maxHamming = 6)
+    }),
+    "q40_pip_grid" -> ((s, dir) => {
+      // many-polygon PIP: ~100 arithmetic-derived square rings (CityJSON-grid
+      // shaped, mirroring lod2_buildings_v2.json's 100 buildings) so the
+      // multi-candidate-per-cell refine path is DuckDB-checked, not just the
+      // 2-polygon q11. Corner offsets (0.205/0.105) keep every point off the
+      // ring boundary, so inclusive-vs-exclusive semantics cannot flake.
+      import s.implicits._
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("x"), col("y"))
+      val ids = t(s, dir, "part").where(col("p_partkey") < 100)
+        .select(col("p_partkey").cast("long")).collect().map(_.getLong(0)).toSeq
+      val polys = ids.map { i =>
+        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
+        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
+        val maxx = minx + 1.19; val maxy = miny + 1.19
+        Footprint(s"b$i", "Building", 0,
+          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
+          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
+          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
+      }
+      PipJoin.auto(pts, polys, res = 12).select(col("event_id"), col("feature_id"))
+    }),
 
     // ---- engine-only (no SQL oracle; ScalaTest asserts exact row sets) ----
     "g1_footprint_census" -> ((s, dir) => {
@@ -496,9 +538,9 @@ object SparkEntry {
     words.map(w => s"CASE WHEN list_contains($toks, '$w') THEN 1 ELSE 0 END")
       .mkString("(", " + ", s") / ${words.size}.0::DOUBLE")
 
-  def oracleSql: Map[String, String] = Map(
-    "q20_simhash" ->
-      """WITH w AS (
+  /** q20's signature computation, shared verbatim by the q39 pairs oracle. */
+  private val q20Sql: String =
+    """WITH w AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
          h AS (SELECT doc_id, md5(word) AS hx FROM w WHERE word <> ''),
          bits AS (
@@ -516,7 +558,47 @@ object SparkEntry {
          SELECT d.doc_id,
                 CAST(coalesce(CASE WHEN us >= 9223372036854775808 THEN us - 18446744073709551616
                                    ELSE us END, 0) AS BIGINT) AS simhash
-         FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id""",
+         FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_simhash" -> q20Sql,
+    "q39_simhash_pairs" ->
+      s"""WITH q20 AS ($q20Sql)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM q20 a JOIN q20 b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+    "q40_pip_grid" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
+         polys AS (
+           SELECT p_partkey AS pid,
+                  457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.205 AS minx,
+                  5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.105 AS miny
+           FROM part WHERE p_partkey < 100)
+         SELECT event_id, 'b' || pid AS feature_id FROM pts JOIN polys
+           ON x >= minx AND x <= minx + 1.19 AND y >= miny AND y <= miny + 1.19""",
+    "q41_shortest_path" ->
+      """WITH RECURSIVE e AS (
+           SELECT p_partkey %% 500 AS src, (p_partkey * 7 + 1) %% 500 AS dst FROM part
+           UNION ALL
+           SELECT (p_partkey * 3) %% 500, (p_partkey + 13) %% 500 FROM part),
+         bfs AS (
+           SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+           UNION
+           SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON bfs.node = e.src
+           WHERE bfs.dist < 8),
+         d AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY 1),
+         pred AS (
+           SELECT dn.node, min(e.src) AS pred
+           FROM d dn JOIN e ON e.dst = dn.node
+             JOIN d dp ON dp.node = e.src AND dp.dist = dn.dist - 1
+           GROUP BY 1),
+         walk AS (
+           SELECT CAST(4 AS BIGINT) AS node, (SELECT dist FROM d WHERE node = 4) AS pos
+           UNION ALL
+           SELECT p.pred, w.pos - 1 FROM walk w JOIN pred p ON p.node = w.node
+           WHERE w.pos > 0)
+         SELECT CAST(pos AS INT) AS pos, node FROM walk""",
     "q21_ann_topk" ->
       s"""WITH probes AS (
            SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id %% 50 = 0),

@@ -28,13 +28,16 @@ import graft.sources.IceLite
  */
 object Pipeline {
 
-  /** Enriched-row plan: cell key, PIP feature, nearest centroid, tile. */
+  /** Enriched-row plan: cell key, PIP feature, nearest centroid, tile.
+    * `keepCols` carries extra upstream columns (e.g. the curation `split`)
+    * through the enrichment untouched. */
   def enrich(images: DataFrame, polys: Seq[Footprint],
-             zoom: Int = 20, k: Int = 1, nBuckets: Int = 16): DataFrame = {
+             zoom: Int = 20, k: Int = 1, nBuckets: Int = 16,
+             keepCols: Seq[String] = Nil): DataFrame = {
     val centroids = polys.map(f => (f.feature_id, f.centroid.x, f.centroid.y))
     val nn = new graft.operators.KnnIndex(centroids, k)
     val enriched = PipJoin.exprJoin(
-        images.select(col("image_id"), col("x"), col("y")), polys)
+        images.select((Seq("image_id", "x", "y") ++ keepCols).map(col): _*), polys)
       .withColumn("cell", graft.functions.GeoFunctions.hex_encode(
         col("x"), col("y"), lit(PipJoin.DefaultRes)))
       .withColumn("tile_id", graft.functions.GeoFunctions.tile_of(
@@ -42,16 +45,54 @@ object Pipeline {
       .withColumn("nn", explode(org.apache.spark.sql.graft.GeoFunctionsImpl.knn_matches(
         col("x"), col("y"), nn)))
       .where(col("nn.rnk") === 1)
-      .select(col("image_id"), col("x"), col("y"), col("cell"), col("tile_id"),
-        col("feature_id"), col("nn.target_id").as("nn_id"), col("nn.d2").as("nn_d2"))
+      .select(col("image_id") +: col("x") +: col("y") +: col("cell") +: col("tile_id") +:
+        col("feature_id") +: col("nn.target_id").as("nn_id") +: col("nn.d2").as("nn_d2") +:
+        keepCols.map(col): _*)
     enriched.withColumn("bucket", pmod(xxhash64(col("image_id")), lit(nBuckets)))
   }
 
-  /** Run end to end; returns (written, skipped, audit ok-count). */
+  /**
+   * Curation stages of the LLM-data pipeline, composed from the
+   * independently oracle-verified pieces (q19 LSH pairs, q36 clustering,
+   * q37 keep-best, q38 split): near-duplicate pairs over `textCol` →
+   * transitive clusters → keep the highest-quality row per cluster
+   * (singletons keep themselves; ties break on id ascending) → attach the
+   * deterministic content-derived train/val/test split. Returns the input
+   * rows filtered to the keepers, plus a `split` column. Every stage is the
+   * banded/scalar-shuffle shape of the underlying operators — nothing here
+   * adds an all-pairs join or a vector/text-bloated shuffle.
+   */
+  def curate(rows: DataFrame, idCol: String = "image_id", textCol: String = "caption",
+             minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = rows.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val pairs = graft.operators.Dedup.lshPairs(docs, minJaccard = minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val quality = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityColumns(col("text")).last)
+    val labeled = quality.join(cc, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+    val w = Window.partitionBy("root").orderBy(col("quality").desc, col("doc_id").asc)
+    val keepers = labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id").as(idCol))
+    rows.join(keepers, Seq(idCol), "left_semi")
+      .withColumn("split", graft.functions.TextFunctions.hashSplit(col(idCol)))
+  }
+
+  /** Run end to end; returns (written, skipped, audit ok-count). With
+    * `curate = true` the caption near-dup curation (dedup → keep-best →
+    * split) runs before enrichment, so the whole LLM-data path is one
+    * resumable job: a crash/rerun recomputes only uncommitted buckets and
+    * the curated content (keepers AND split values) is byte-stable. */
   def run(spark: SparkSession, imagesDir: String, polys: Seq[Footprint],
-          outTable: String, zoom: Int = 20, nBuckets: Int = 16): (Int, Int, Int) = {
+          outTable: String, zoom: Int = 20, nBuckets: Int = 16,
+          curate: Boolean = false): (Int, Int, Int) = {
     val images = spark.read.parquet(imagesDir)
-    val enriched = enrich(images, polys, zoom = zoom, nBuckets = nBuckets)
+    val (input, keep) =
+      if (curate) (this.curate(images), Seq("split")) else (images, Nil)
+    val enriched = enrich(input, polys, zoom = zoom, nBuckets = nBuckets, keepCols = keep)
     val (written, skipped) = IceLite.writeResumable(enriched, outTable, "bucket")
     val audit = IceLite.verifyLineage(spark, outTable, "bucket")
     (written.size, skipped.size, audit.count(_._2))

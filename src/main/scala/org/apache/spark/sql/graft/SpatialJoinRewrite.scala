@@ -23,9 +23,17 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
+import graft.core.HexGrid
+
 object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  val Res = 11 // hex resolution of the prejoin key (≈25 m edge)
+  val Res = 11 // default hex resolution of the prejoin key (≈25 m edge)
+  /** Session conf: explicit resolution override for the declarative SQL path
+    * (the programmatic PipJoin API takes `res` directly). */
+  val ResConf = "spark.graft.pip.res"
+  /** Session conf: max estimated cover cells per polygon before the rule
+    * coarsens the resolution (envelope-stats-driven). */
+  val BudgetConf = "spark.graft.pip.coverBudget"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
@@ -35,10 +43,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       splitCovers(cond, left, right) match {
         case Some((pip, pointsLeft)) =>
           val (ptsSide, polySide) = if (pointsLeft) (left, right) else (right, left)
-          val cellL = Alias(HexEncodeExpr(pip.third, pip.fourth, Literal(Res)), "__cell_pt")()
+          val res = pickRes(pip.first, polySide)
+          val cellL = Alias(HexEncodeExpr(pip.third, pip.fourth, Literal(res)), "__cell_pt")()
           val ptsPlan = Project(ptsSide.output :+ cellL, ptsSide)
           val cellR = AttributeReference("__cell_poly", LongType, nullable = false)()
-          val polyPlan = Generate(Explode(HexCoverExpr(pip.first, Literal(Res))),
+          val polyPlan = Generate(Explode(HexCoverExpr(pip.first, Literal(res))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(cellR), child = polySide)
           val eq = EqualTo(cellL.toAttribute, cellR)
@@ -47,6 +56,70 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case None => j
       }
   }
+
+  /**
+   * Resolution for the cell prejoin. Priority:
+   *  1. explicit session conf `spark.graft.pip.res`;
+   *  2. envelope stats when the polygon side is statically known (a
+   *     LocalRelation — the common "small dimension of footprints" shape):
+   *     start from the building-scale default and COARSEN until the
+   *     estimated cover is ≤ `spark.graft.pip.coverBudget` cells per
+   *     polygon, so a continent-scale polygon gets a few hundred cover
+   *     cells instead of millions of 25 m cells;
+   *  3. the default (building-footprint scale).
+   * Any res gives correct rows (hex_cover is a superset at every res —
+   * CellGridSpec property); res only moves the filter/refine cost balance.
+   */
+  private def pickRes(ringExpr: Expression, polySide: LogicalPlan): Int =
+    conf.getConfString(ResConf, "").trim match {
+      case s if s.nonEmpty => s.toInt
+      case _ =>
+        val budget = conf.getConfString(BudgetConf, "256").toInt
+        maxEnvelopeSpan(ringExpr, polySide) match {
+          case Some(span) =>
+            var r = Res
+            while (r > 0 && estCoverCells(span, r) > budget) r -= 1
+            r
+          case None => Res
+        }
+    }
+
+  /** Estimated hex-cover cell count for a polygon with bbox span `s` at `res`
+    * (axial lattice: column pitch 1.5·edge, row pitch √3·edge, +2 slack). */
+  private def estCoverCells(s: Double, res: Int): Double = {
+    val e = HexGrid.edge(res)
+    (s / (1.5 * e) + 2.0) * (s / (math.sqrt(3.0) * e) + 2.0)
+  }
+
+  /** Max bbox span (max of dx, dy) over the polygon side's rings, when the
+    * side bottoms out in a LocalRelation carrying the ring attribute — the
+    * only case where stats are knowable at rewrite time without running a
+    * job. Returns None for file-backed / computed polygon sides. */
+  private def maxEnvelopeSpan(ringExpr: Expression, polySide: LogicalPlan): Option[Double] =
+    ringExpr match {
+      case a: AttributeReference =>
+        polySide.collectFirst {
+          case lr: LocalRelation if lr.output.exists(_.exprId == a.exprId) => lr
+        }.flatMap { lr =>
+          val ord = lr.output.indexWhere(_.exprId == a.exprId)
+          val spans = lr.data.iterator.filterNot(_.isNullAt(ord)).map { row =>
+            val ring = row.getArray(ord)
+            var minx = Double.MaxValue; var maxx = Double.MinValue
+            var miny = Double.MaxValue; var maxy = Double.MinValue
+            var i = 0
+            while (i < ring.numElements()) {
+              val p = ring.getStruct(i, 2)
+              val x = p.getDouble(0); val y = p.getDouble(1)
+              if (x < minx) minx = x; if (x > maxx) maxx = x
+              if (y < miny) miny = y; if (y > maxy) maxy = y
+              i += 1
+            }
+            math.max(maxx - minx, maxy - miny)
+          }.filter(s => !s.isInfinite).toSeq
+          if (spans.isEmpty) None else Some(spans.max)
+        }
+      case _ => None
+    }
 
   /** Find a PipCoversExpr that is itself one of the top-level conjuncts of the
     * join condition (never one buried under OR/NOT/CASE, where conjoining the

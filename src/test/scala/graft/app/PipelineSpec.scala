@@ -38,6 +38,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // planted caption duplicates: groups of 3 consecutive ids share an
+  // IDENTICAL group caption (banding collision probability 1 — the
+  // probabilistic near-dup recall of non-identical pairs is the operators'
+  // concern, oracle-proven by q19/q36/q37; this fixture tests the pipeline
+  // WIRING deterministically). Quality ties within a group, so the keeper is
+  // the min id (i%3==0); cross-group Jaccard is 0.
+  lazy val curatedImagesDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pipe_cur_imgs").toString
+    (0L until 3000L).map { i =>
+      val (x, y) = ImageGen.geotag(i)
+      val g = i / 3
+      (f"img_$i%010d", s"g$g h$g k$g m$g w$g", x, y)
+    }.toDF("image_id", "caption", "x", "y").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("curation stage: near-dup groups collapse to the min-id keeper; split attached") {
+    val imgs = spark.read.parquet(curatedImagesDir)
+    val curated = Pipeline.curate(imgs).collect()
+    val ids = curated.map(_.getString(0)).toSet
+    assert(ids === (0L until 3000L by 3).map(i => f"img_$i%010d").toSet,
+      "each group of 3 near-dup captions must keep exactly its min id")
+    // the split column is the deterministic content-derived hash split
+    val splits = curated.map(r => r.getString(0) -> r.getString(4)).toMap
+    val again = Pipeline.curate(imgs).collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(splits === again, "split must be byte-stable across runs")
+    assert(splits.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.toSet.size === 3, "3000/3 keepers should hit all three splits")
+  }
+
+  test("curated pipeline end to end: resumable, duplicates dropped, split byte-stable") {
+    val table = java.nio.file.Files.createTempDirectory("pipe_cur_out").toString + "/cur"
+    val images = spark.read.parquet(curatedImagesDir)
+    // "crash" after half the buckets
+    val half = Pipeline.enrich(Pipeline.curate(images), polys, keepCols = Seq("split"))
+      .where(col("bucket") < 8)
+    IceLite.writeResumable(half, table, "bucket")
+    val (w, s, ok) = Pipeline.run(spark, curatedImagesDir, polys, table, curate = true)
+    assert(s === 8 && w === 8 && ok === 16, s"w=$w s=$s ok=$ok")
+    val resumed = IceLite.read(spark, table)
+    // only keepers survive into the enriched table
+    val survivors = resumed.select("image_id").as[String].collect()
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(id => id.drop(4).toLong % 3 == 0),
+      "a non-keeper duplicate leaked through the curated pipeline")
+    // byte-stable (incl. the split column) vs a fresh single-shot run
+    val fresh = Pipeline.enrich(Pipeline.curate(images), polys, keepCols = Seq("split"))
+    def chk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(xxhash64(df.columns.sorted.map(col): _*).cast("decimal(38,0)")))
+        .head().get(0).toString
+    assert(resumed.count() === fresh.count())
+    assert(chk(resumed) === chk(fresh), "curated resume must be byte-stable vs single-shot")
+  }
+
   test("pipeline is resumable: crash after a prefix, rerun completes, audit green, byte-stable") {
     val table = java.nio.file.Files.createTempDirectory("pipe_out").toString + "/enriched"
     val images = spark.read.parquet(imagesDir)

@@ -101,6 +101,44 @@ class SpatialRewriteSpec extends AnyFunSuite {
     assert(got === PipJoin.bruteForce(points, fps).filter(_._1.endsWith("0")))
   }
 
+  test("continent-scale polygon: stats-driven res coarsens; rows still match brute force") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    // ~400 km square polygon + a handful of points inside/outside; at the
+    // building-scale default (res 11, ~25 m edge) the cover explode would be
+    // hundreds of millions of cells — the rule must coarsen from envelope stats
+    val big = graft.model.Footprint("country", "Query", 0,
+      Seq(graft.model.XY(0, 0), graft.model.XY(400000, 0),
+        graft.model.XY(400000, 400000), graft.model.XY(0, 400000)),
+      Seq.empty, graft.model.Env6(0, 0, 0, 400000, 400000, 0),
+      graft.model.XY(200000, 200000), Map.empty)
+    val pts = Seq(("in1", 1000.0, 1000.0), ("in2", 399000.0, 350000.0),
+      ("out1", 500000.0, 10.0), ("out2", -5.0, 3.0)).toDF("image_id", "x", "y")
+    val polys = spark.createDataset(Seq(big)).select("feature_id", "ring", "holes")
+    val q = pts.crossJoin(polys)
+      .where(GeoFunctions.st_covers(col("ring"), col("holes"), col("x"), col("y")))
+      .select("image_id", "feature_id")
+    val opt = q.queryExecution.optimizedPlan.toString
+    val resUsed = "hex_cover\\([^,]+, (\\d+)\\)".r.findFirstMatchIn(opt)
+      .map(_.group(1).toInt)
+    assert(resUsed.exists(_ < org.apache.spark.sql.graft.SpatialJoinRewrite.Res),
+      s"a 400 km polygon must pick a coarser res than the default:\n$opt")
+    assert(q.as[(String, String)].collect().toSet ===
+      Set(("in1", "country"), ("in2", "country")))
+  }
+
+  test("spark.graft.pip.res conf overrides the rewrite resolution") {
+    org.apache.spark.sql.graft.GraftExtensions.enable(spark)
+    spark.conf.set("spark.graft.pip.res", "9")
+    try {
+      val q = naiveJoin
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert("hex_cover\\([^,]+, (\\d+)\\)".r.findFirstMatchIn(opt)
+        .exists(_.group(1).toInt == 9), s"conf res must win:\n$opt")
+      assert(q.as[(String, String)].collect().toSet ===
+        PipJoin.bruteForce(points, fps))
+    } finally spark.conf.unset("spark.graft.pip.res")
+  }
+
   test("vector/text/tile kernels are callable from the SQL surface") {
     graft.functions.GeoFunctions.register(spark)
     val r = spark.sql(
