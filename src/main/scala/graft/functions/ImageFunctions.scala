@@ -125,6 +125,14 @@ object ImageFunctions {
    * Per-row payload verification vs the deterministic source (input_hint
    * invariant: decoded pixels allclose — PSNR ≥ 40 dB lossy / exact lossless —
    * and caption byte-equality), executed distributed.
+   *
+   * NB: the "source of truth" here is the deterministic generator
+   * (`ImageGen.row(i)`) because the sandbox's input_hint table IS
+   * generator-derived — recomputing beats shipping a second copy. A
+   * production pipeline would instead equi-join the checked table against
+   * the source-of-truth table on image_id and compare the joined payloads
+   * (same mapPartitions verify, source rows arriving via the join instead
+   * of recomputation).
    */
   def verifyPayload(joined: DataFrame): Dataset[PayloadCheck] = {
     val spark = joined.sparkSession

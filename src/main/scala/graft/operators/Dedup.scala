@@ -86,11 +86,16 @@ object Dedup {
         posexplode(array((1 to perms).map(p =>
           substring(col("h0"), (p - 1) * 8 + 1, 8)): _*)).as(Seq("band", "h")))
     val buckets0 = hashes.groupBy("id", "band").agg(min("h").as("bucket"))
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val buckets = buckets0
-      .withColumn("bsz", count(lit(1)).over(wB))
-      .where(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // cap enforcement: aggregate the (rare, by the frequent-shingle premise)
+    // oversized buckets and anti-join them out — the same shuffle count as
+    // the previous count-window form but with map-side partial aggregation
+    // and NO per-partition sort of every (id, band, bucket) row; AQE picks a
+    // broadcast anti-join when the oversized set is small (the normal case)
+    val oversized = buckets0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .select("band", "bucket")
+    val buckets = buckets0.join(oversized, Seq("band", "bucket"), "left_anti")
     val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))

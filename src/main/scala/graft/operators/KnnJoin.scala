@@ -84,43 +84,61 @@ object KnnJoin {
                k: Int, res: Int = 12, maxR: Int = 16,
                ringsPerRound: Int = 2,
                checkpointDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     graft.functions.GeoFunctions.register(spark)
     val ck = graft.core.Checkpoints.strategy(probes, checkpointDir)
     val t = targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
+    // candidates carry (probe_id, target_id, d2) ONLY — the probe coordinates
+    // live in `pending` and would otherwise ride every ranking shuffle
     def candOf(p: DataFrame): DataFrame = p
-      .select(col("probe_id"), col("x"), col("y"), col("target_id"),
+      .select(col("probe_id"), col("target_id"),
         ((col("cx") - col("x")) * (col("cx") - col("x")) +
          (col("cy") - col("y")) * (col("cy") - col("y"))).as("d2"))
-    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
+    // ranking = the bounded top-k AGGREGATE, not a row_number window: the
+    // window shuffles and sorts every candidate row; the aggregate keeps a
+    // k-bounded buffer per probe on the map side, so the shuffle carries
+    // k-entry buffers — candidate-count-independent (see TopKAgg.scala)
+    def rankTopK(cands: DataFrame): DataFrame = cands
+      .groupBy("probe_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl
+        .knn_topk(col("d2"), col("target_id"), k).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("m"))
+      .select(col("probe_id"), col("m.target_id").as("target_id"),
+        col("m.d2").as("d2"), col("m.rnk").as("rnk"))
     // eager checkpoints: each round's accumulator and pending set materialize
     // ONCE and truncate lineage — a lazy checkpoint re-ran the whole round
     // chain on every action (recompute amplification across rounds)
     var pending = ck(probes.select(col("probe_id").cast("string"),
       col("x").cast("double"), col("y").cast("double")))
-    var nPending = pending.count() // the single per-round done-probe pass
+    var nPending = -1L // unknown until the first round's single count action
     // acc = running top-k candidates of UNFINISHED probes only (no rnk col)
     var acc: DataFrame = candOf(pending.limit(0).crossJoin(t.limit(0)))
-    // finalized (probe_id .. rnk) blocks — checkpointed leaves, unioned once
+    // finalized (probe_id, target_id, d2, rnk) blocks — checkpointed leaves
     var doneParts: List[DataFrame] = Nil
     var r = 0
-    while (r <= maxR && nPending > 0) {
-      // visit `ringsPerRound` rings per round: each round costs a fixed
-      // number of jobs (join, checkpoint, rank, anti-join, count) regardless
-      // of data volume, so batching rings divides the synchronization-barrier
-      // count — the dominant cost when rounds are small
-      val rHi = math.min(r + ringsPerRound - 1, maxR)
+    while (r <= maxR && nPending != 0) {
+      // batch rings geometrically: each round costs a fixed number of jobs
+      // (join, checkpoint, rank, anti-join, count) regardless of data volume,
+      // so the barrier count — the dominant cost once candidates are pruned —
+      // must not grow linearly in maxR. Round spans double (0-1, 2-4, 5-10,
+      // 11-22, …): dense-area probes finish in the cheap early rounds, and
+      // far-field stragglers get their rings in O(log maxR) rounds. Worst-
+      // case candidate overshoot of a doubled span is a constant factor
+      // (area of rings r..2r ≈ 3r² vs r² needed), paid only by the few
+      // probes still pending at large r. (A one-shot jump to maxR was tried
+      // and measured WORSE: it bounds explode volume but not candidate
+      // volume — with dense targets the single round ranks tens of millions
+      // of candidate rows that doubling would never have fetched.)
+      val rHi = math.min(maxR, math.max(r + ringsPerRound - 1, 2 * r))
       val ringCells = flatten(array((r to rHi).map(rr =>
         graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(rr))): _*))
       val cand = candOf(pending.withColumn("pcell", explode(ringCells))
         .join(t, col("pcell") === col("tcell")))
       // rank old top-k ∪ new candidates, keep top-k — the only rows a later
       // round could ever emit (d2 never changes; candidates only accumulate)
-      val topk = ck(acc.unionByName(cand)
-        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k))
+      val topk = ck(rankTopK(acc.unionByName(cand)))
       val bound = ringLowerBound(res, rHi + 1)
       val doneProbes = topk.where(col("rnk") === k && sqrt(col("d2")) < bound)
         .select(col("probe_id").as("done_id"))
@@ -132,16 +150,18 @@ object KnnJoin {
       nPending = pending.count()
       r = rHi + 1
     }
-    val openRows = if (nPending > 0) {
+    if (nPending > 0) {
       // ring budget exhausted with probes still open (far-field stragglers —
       // by construction a small set): exact fallback join instead of a
       // silently truncated top-k; distinct() drops the re-met candidates
       // (duplicate rows are identical in every column, scalars only)
-      acc.unionByName(candOf(pending.crossJoin(t))).distinct()
-    } else acc // empty: every probe finished through the ring bound
-    val tail = openRows.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-    // union tree of checkpointed leaves (+ the tail) — recompute-free
-    doneParts.foldLeft(tail)(_ unionByName _)
+      val openRows = acc.unionByName(candOf(pending.crossJoin(t))).distinct()
+      doneParts.foldLeft(rankTopK(openRows))(_ unionByName _)
+    } else {
+      // every probe finished through the ring bound: acc is empty — union
+      // the checkpointed result blocks directly, no tail ranking stage
+      doneParts.reduce(_ unionByName _)
+    }
   }
 
   /** Driver-side brute-force oracle (tests). */

@@ -357,6 +357,9 @@ object GeoFunctionsImpl {
     column(KnnMatchesExpr(expression(x), expression(y), index))
   def hex_ring(x: Column, y: Column, res: Column, r: Column): Column =
     column(HexRingExpr(expression(x), expression(y), expression(res), expression(r)))
+  /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
+  def knn_topk(d2: Column, id: Column, k: Int): Column =
+    column(KnnTopKAgg(expression(d2), expression(id), k).toAggregateExpression())
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -368,6 +371,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("tile_cover", es => TileCoverExpr(es(0), es(1)), "built-in")

@@ -1,0 +1,144 @@
+/*
+ * Bounded top-k aggregate for kNN ranking — the map-side-combine shape the
+ * window form cannot have. `row_number() OVER (PARTITION BY probe ORDER BY
+ * d2)` must shuffle and sort EVERY candidate row; this TypedImperativeAggregate
+ * keeps a k-bounded buffer per probe on the map side, so only k-entry buffers
+ * cross the wire (candidate-count-independent shuffle volume). At 10^9+
+ * candidates per round the full sort is the bottleneck; the bounded buffer is
+ * the standard distributed top-k (what takeOrdered does for RDDs, expressed
+ * as a Catalyst aggregate so it composes with DataFrame groupBy).
+ */
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable k-bounded candidate set ordered by (d2 asc, id asc). Kept as a
+  * simple sorted array — k is small (single digits in kNN practice), so
+  * insertion beats heap constants and serialization is trivial. */
+final class TopKBuffer(val k: Int) {
+  var n: Int = 0
+  val d2s: Array[Double] = new Array[Double](k)
+  val ids: Array[UTF8String] = new Array[UTF8String](k)
+
+  private def beats(d: Double, id: UTF8String, i: Int): Boolean =
+    d < d2s(i) || (d == d2s(i) && id.compareTo(ids(i)) < 0)
+
+  def insert(d: Double, id0: UTF8String): Unit = {
+    if (n == k && !beats(d, id0, k - 1)) return
+    // clone ONLY when the entry is kept: an UnsafeRow-backed UTF8String
+    // points into the iterator's reused row buffer — storing the reference
+    // would let the next input row overwrite it
+    val id = id0.clone()
+    var i = if (n < k) n else k - 1 // position to write, shifting right
+    while (i > 0 && beats(d, id, i - 1)) {
+      d2s(i) = d2s(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    d2s(i) = d; ids(i) = id
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.d2s(i), o.ids(i)); i += 1 }
+  }
+}
+
+/**
+ * knn_topk(d2, id, k) → array<struct<target_id: string, d2: double, rnk: int>>
+ * sorted by (d2, id) with 1-based rnk — exactly the rows
+ * `row_number() OVER (PARTITION BY … ORDER BY d2, id) <= k` would keep.
+ */
+@ExpressionDescription(usage = "knn_topk(d2, id, k) - bounded top-k by (d2, id) with map-side combine")
+case class KnnTopKAgg(
+    d2Child: Expression, idChild: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k >= 1, s"knn_topk: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(d2Child, idChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("target_id", StringType).add("d2", DoubleType).add("rnk", IntegerType),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val d = d2Child.eval(input)
+    val id = idChild.eval(input)
+    if (d != null && id != null)
+      b.insert(d.asInstanceOf[Double], id.asInstanceOf[UTF8String])
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = { b.mergeFrom(o); b }
+
+  override def eval(b: TopKBuffer): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.ids(i), b.d2s(i), i + 1)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.n)
+    var i = 0
+    while (i < b.n) {
+      out.writeDouble(b.d2s(i))
+      val bytes = b.ids(i).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val d = in.readDouble()
+      val len = in.readInt()
+      val arr = new Array[Byte](len); in.readFully(arr)
+      // entries arrive already sorted — insert keeps the invariant
+      b.insert(d, UTF8String.fromBytes(arr))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KnnTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KnnTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KnnTopKAgg =
+    copy(d2Child = c(0), idChild = c(1))
+  override def prettyName: String = "knn_topk"
+}
+
+object KnnTopKAgg {
+  /** SQL builder: knn_topk(d2, id, k) with k a foldable int literal. */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 3, "knn_topk(d2, id, k) takes 3 arguments")
+    val k = es(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"knn_topk: k must be an integer literal, got $other")
+    }
+    KnnTopKAgg(es(0), es(1), k).toAggregateExpression()
+  }
+}

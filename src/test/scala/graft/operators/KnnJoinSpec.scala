@@ -88,6 +88,48 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("knn_topk aggregate == row_number window top-k (random data incl. d2 ties)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val r3 = new scala.util.Random(99)
+    // ties on purpose: d2 drawn from a small integer set
+    val rows = (0 until 5000).map { i =>
+      (s"p${r3.nextInt(40)}", s"t$i", r3.nextInt(20).toDouble)
+    }
+    val df = rows.toDF("probe_id", "target_id", "d2").repartition(7)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("target_id"))
+    for (k <- Seq(1, 3, 10)) {
+      val want = df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .as[(String, String, Double, Int)].collect().toSet
+      val got = df.groupBy("probe_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl
+          .knn_topk(col("d2"), col("target_id"), k).as("nn"))
+        .select(col("probe_id"), explode(col("nn")).as("m"))
+        .select(col("probe_id"), col("m.target_id"), col("m.d2"), col("m.rnk"))
+        .as[(String, String, Double, Int)].collect().toSet
+      assert(got === want, s"k=$k")
+    }
+    // plan gate: partial (map-side) + final aggregate — the whole point vs a
+    // window, whose sort must see every candidate row
+    val plan = df.groupBy("probe_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl
+        .knn_topk(col("d2"), col("target_id"), 3).as("nn"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllMatchIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+    // SQL surface
+    graft.functions.GeoFunctions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val sqlGot = spark.sql(
+      """SELECT probe_id, m.target_id, m.d2, m.rnk
+         FROM (SELECT probe_id, explode(knn_topk(d2, target_id, 3)) AS m
+               FROM topk_in GROUP BY probe_id)""")
+      .as[(String, String, Double, Int)].collect().toSet
+    val sqlWant = df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .as[(String, String, Double, Int)].collect().toSet
+    assert(sqlGot === sqlWant)
+  }
+
   test("ringLowerBound is a true lower bound (random sampling)") {
     val res = 11
     val r2 = new scala.util.Random(7)
