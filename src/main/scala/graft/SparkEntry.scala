@@ -308,6 +308,19 @@ object SparkEntry {
         .select("click_id", "user_id", "ts", "view_ts", "view_value")
     }),
 
+    "q42_asof_forward" -> ((s, dir) => {
+      // forward ("next-event") as-of: each click gets the user's EARLIEST
+      // view at or after it — the q33 sweep with direction reversed
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      graft.operators.AsOfJoin.forward(clicks, views, Seq("user_id"), "ts",
+          rightPrefix = "view_")
+        .select("click_id", "user_id", "ts", "view_ts", "view_value")
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -888,6 +901,14 @@ object SparkEntry {
          SELECT click_id, c.user_id AS user_id, c.ts AS ts, view_ts, view_value
          FROM clicks c ASOF JOIN views v
            ON c.user_id = v.user_id AND c.ts >= v.view_ts""",
+    "q42_asof_forward" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events
+                         WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT click_id, c.user_id AS user_id, c.ts AS ts, view_ts, view_value
+         FROM clicks c ASOF JOIN views v
+           ON c.user_id = v.user_id AND c.ts <= v.view_ts""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,

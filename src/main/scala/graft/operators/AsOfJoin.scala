@@ -27,7 +27,19 @@ import org.apache.spark.sql.types.StructType
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
-               rightPrefix: String = "r_", inner: Boolean = true): DataFrame = {
+               rightPrefix: String = "r_", inner: Boolean = true): DataFrame =
+    sweep(left, right, keys, tsCol, rightPrefix, inner, descending = false)
+
+  /** Forward as-of join ("next-event" join): each left row matches the right
+    * row with the SMALLEST timestamp ≥ the left timestamp within the same
+    * key (inclusive). Same single-shuffle sorted-sweep shape as [[backward]],
+    * with the sweep direction reversed. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+              rightPrefix: String = "r_", inner: Boolean = true): DataFrame =
+    sweep(left, right, keys, tsCol, rightPrefix, inner, descending = true)
+
+  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+                    rightPrefix: String, inner: Boolean, descending: Boolean): DataFrame = {
     val lPayload = left.columns.filterNot(keys.contains).toSeq
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val lvType = new StructType(lPayload.map(c => left.schema(c)).toArray)
@@ -42,8 +54,11 @@ object AsOfJoin {
       lit(null).cast(lvType).as("__lv"),
       struct(rPayload.map(col): _*).as("__rv")): _*)
 
+    // right sorts before left at equal __ts in BOTH directions (side asc),
+    // so equal timestamps match inclusively
+    val tsOrder = if (descending) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = lSide.unionByName(rSide)

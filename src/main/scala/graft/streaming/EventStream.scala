@@ -98,6 +98,23 @@ object EventStream {
   }
 
   /**
+   * Streaming exact dedup: drop re-deliveries of the same event id (at-least-
+   * once sources re-emit) with STATE BOUNDED BY THE WATERMARK —
+   * `dropDuplicatesWithinWatermark` evicts seen-key state once the watermark
+   * passes it, where a plain streaming `dropDuplicates` would grow state
+   * forever. The streaming face of the batch q17 exact dedup: two deliveries
+   * of one event are exact duplicates by id, and any replay of the same event
+   * arrives within the delay bound or is late-dropped by the watermark.
+   */
+  def dedupStream(spark: SparkSession, path: String,
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /**
    * Streaming spatial enrichment: a stream of geotagged image rows is
    * PIP-matched against the footprint index per micro-batch — the
    * `pip_matches` expression is stateless, so the streaming plan is the same

@@ -26,6 +26,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", inner = false).count() === 400)
   }
 
+  test("forward as-of join == brute force (next right row at or after left ts)") {
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 400).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, s"l$i"))
+    val right = (0 until 300).map(i => (rnd.nextInt(10).toLong, (rnd.nextInt(500) * 2).toLong, i * 0.5))
+      .distinctBy(r => (r._1, r._2))
+    val got = AsOfJoin.forward(left.toDF("k", "ts", "tag"), right.toDF("k", "ts", "value"),
+        Seq("k"), "ts")
+      .select("k", "ts", "tag", "r_ts", "r_value")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    val want = left.flatMap { case (k, ts, tag) =>
+      right.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(_._2).headOption.map(r => (k, ts, tag, r._2, r._3))
+    }.toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("equal timestamps match inclusively; matches never cross keys or look ahead") {
     val lDf = Seq((1L, 100L, "a"), (1L, 99L, "b"), (2L, 100L, "c")).toDF("k", "ts", "tag")
     val rDf = Seq((1L, 100L, 7.0), (2L, 101L, 9.0)).toDF("k", "ts", "value")

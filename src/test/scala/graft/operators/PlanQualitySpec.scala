@@ -70,6 +70,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"payload columns must be pruned from the scan:\n$readSchema")
   }
 
+  test("curated pipeline: scans prune to (id, caption|x,y) — bytes never read") {
+    // the curation stage needs (image_id, caption); enrichment needs
+    // (image_id, x, y [, split]); the multi-MB binary payload must reach
+    // NEITHER scan — at 100 TB the payload is the table
+    val dir = "target/tmp/plan_cur_imgs"
+    graft.sources.ImageGen.table(spark, 500, 4).write.mode("overwrite").parquet(dir)
+    val images = spark.read.parquet(dir)
+    val q = graft.app.Pipeline.enrich(
+      graft.app.Pipeline.curate(images), benchPolys, keepCols = Seq("split"))
+    q.collect()
+    val scans = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach { scan =>
+      val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+      assert(!readSchema.contains("bytes") && !readSchema.contains("phash"),
+        s"payload columns must be pruned from every curated-pipeline scan:\n$readSchema")
+    }
+  }
+
   test("codegen kNN path: no join, no shuffle, knn_matches in a codegen span") {
     val dir = "target/tmp/plan_knn_pts"
     (0 until 1000).map(i => (s"p$i", 457842.0 + i % 12, 5439083.0 + i % 10))

@@ -38,6 +38,26 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming exact dedup drops re-delivered events; state bounded by watermark") {
+    // simulate at-least-once delivery: the same chunk of events lands twice
+    // in separate files, then a later chunk advances the watermark
+    val d = java.nio.file.Files.createTempDirectory("events_dedup").toString
+    val df = spark.read.parquet(s"$sf/events.parquet").orderBy("event_id")
+    val first = df.limit(300)
+    first.coalesce(1).write.mode("append").parquet(d)
+    Thread.sleep(1100)
+    first.coalesce(1).write.mode("append").parquet(d) // exact re-delivery
+    Thread.sleep(1100)
+    df.where(col("event_id") >= 300 && col("event_id") < 500)
+      .coalesce(1).write.mode("append").parquet(d)
+    val q = EventStream.dedupStream(spark, d).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_test")
+    assert(got.count() === 500, "each event id must survive exactly once")
+    assert(got.select("event_id").distinct().count() === 500)
+  }
+
   test("streaming PIP enrichment == batch join (stateless codegen expression in a stream)") {
     val fps = graft.sources.CityGmlReader.toFootprints(
       graft.sources.CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml"), 0)
