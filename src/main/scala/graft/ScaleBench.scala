@@ -157,6 +157,17 @@ object ScaleBench {
          |
          |Raw: `$json`
          |""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.md"), md.getBytes("UTF-8"))
+    // replace only the scaling section: everything from the marker down
+    // (per-query appendix, measurement notes) is maintained by hand and
+    // must survive a re-run
+    val marker = "<!-- scalebench:end"
+    val path = java.nio.file.Paths.get("BENCH.md")
+    val tail =
+      if (java.nio.file.Files.exists(path)) {
+        val old = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val i = old.indexOf(marker)
+        if (i >= 0) "\n" + old.substring(i) else ""
+      } else ""
+    java.nio.file.Files.write(path, (md + tail).getBytes("UTF-8"))
   }
 }

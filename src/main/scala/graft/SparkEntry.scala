@@ -321,6 +321,27 @@ object SparkEntry {
         .select("click_id", "user_id", "ts", "view_ts", "view_value")
     }),
 
+    "q43_quality_gate" -> ((s, dir) => {
+      // per-language median-quality curation gate: keep each language's
+      // strictly-better-than-median documents — the filtering step a training
+      // pipeline runs after q26 scoring. percentile() is Spark's EXACT
+      // partial-aggregable percentile (per-group value-count maps merge
+      // map-side; quality takes few distinct values, so the maps stay small
+      // at any scale) and the per-language medians table is lang-cardinality
+      // rows — broadcast back onto the scored scan, no second big shuffle.
+      // Robust to last-ulp drift vs the oracle: the interpolated median lies
+      // strictly between two adjacent sorted quality values (or exactly on a
+      // data value when the fraction is 0), so strict > keeps the same row
+      // set on both engines.
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityColumns(col("text")).last)
+      val med = scored.groupBy("lang")
+        .agg(expr("percentile(quality, 0.5D)").as("med"))
+      scored.join(broadcast(med), "lang")
+        .where(col("quality") > col("med"))
+        .select("doc_id", "lang", "quality")
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -909,6 +930,19 @@ object SparkEntry {
          SELECT click_id, c.user_id AS user_id, c.ts AS ts, view_ts, view_value
          FROM clicks c ASOF JOIN views v
            ON c.user_id = v.user_id AND c.ts <= v.view_ts""",
+    "q43_quality_gate" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  0.5::DOUBLE * least(1.0::DOUBLE, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0::DOUBLE) +
+                  0.3::DOUBLE * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                                 CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+                  0.2::DOUBLE * least(1.0::DOUBLE,
+                                 ((CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0) /
+                                  CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0::DOUBLE) AS quality
+           FROM documents),
+         m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM s GROUP BY 1)
+         SELECT doc_id, s.lang AS lang, quality
+         FROM s JOIN m ON s.lang = m.lang WHERE quality > med""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
