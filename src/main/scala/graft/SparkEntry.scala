@@ -342,6 +342,35 @@ object SparkEntry {
         .select("doc_id", "lang", "quality")
     }),
 
+    "q44_ngram_topk" -> ((s, dir) => {
+      // corpus-wide heavy hitters: exact top-50 3-gram frequencies — the
+      // n-gram statistics pass a contamination / boilerplate scan runs over
+      // a training corpus. One-pass codegen shingle kernel feeds a hash
+      // aggregate (map-side partial combine shrinks the shuffle to distinct
+      // ngrams per task, not ngram occurrences), then a global
+      // TakeOrdered(50) — ties at the cut broken by ngram ascending so the
+      // selected SET is deterministic on both engines.
+      t(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(explode(org.apache.spark.sql.graft.TextFunctionsImpl
+          .shingle_make(col("text"), lit(3))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(50)
+    }),
+    "q45_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified downsampling: rebalance the corpus by
+      // keeping 25% of the dominant language and 75% of the rest, chosen by
+      // a content-derived md5 bucket (the q38 mechanism) — stable across
+      // runs, partitioning, and cluster size; a scan-local filter, no
+      // shuffle at all
+      val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100
+      t(s, dir, "documents")
+        .where(bucket < when(col("lang") === "en", 25).otherwise(75))
+        .select("doc_id", "lang")
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -943,6 +972,22 @@ object SparkEntry {
          m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM s GROUP BY 1)
          SELECT doc_id, s.lang AS lang, quality
          FROM s JOIN m ON s.lang = m.lang WHERE quality > med""",
+    "q44_ngram_topk" ->
+      """WITH toks AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS ngram
+                FROM toks WHERE len(w) >= 3)
+         SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+         FROM sh GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 50""",
+    "q45_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         b AS (SELECT doc_id, lang,
+                 ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+                  (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+                  (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) %% 100 AS bucket
+               FROM h)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 75 END""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
