@@ -371,6 +371,25 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    "q46_tile_cover" -> ((s, dir) => {
+      // WMTS tile cover of arithmetic-derived rectangles — puts the
+      // tile_cover generator expression (feature → touched tiles, the g3
+      // raster↔vector build side) under the hard DuckDB gate: Span = 2^25
+      // and tile counts are powers of two, so floor(x / Span * n) is exact
+      // double scaling replayable bit-for-bit in SQL. Packed tile id =
+      // (z<<58)|(x<<29)|(y) — same longs the engine stores and joins on.
+      val r = t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(col("p_partkey").as("rid"),
+          (((col("p_partkey") * 13L) % 500L).cast("double") * lit(37.0)).as("minx"),
+          (((col("p_partkey") * 29L) % 500L).cast("double") * lit(41.0)).as("miny"))
+        .withColumn("maxx", col("minx") + (col("rid") % 7L + 1L).cast("double") * lit(23.0))
+        .withColumn("maxy", col("miny") + (col("rid") % 5L + 1L).cast("double") * lit(31.0))
+      r.select(col("rid"),
+        explode(graft.functions.GeoFunctions.tile_cover(
+          struct(col("minx"), col("miny"), lit(0.0).as("minz"),
+            col("maxx"), col("maxy"), lit(0.0).as("maxz")), lit(20))).as("tile_id"))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -988,6 +1007,28 @@ object SparkEntry {
                FROM h)
          SELECT doc_id, lang FROM b
          WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 75 END""",
+    "q46_tile_cover" ->
+      """WITH r AS (
+           SELECT p_partkey AS rid,
+                  CAST((p_partkey * 13) %% 500 AS DOUBLE) * 37.0 AS minx,
+                  CAST((p_partkey * 29) %% 500 AS DOUBLE) * 41.0 AS miny
+           FROM part WHERE p_partkey < 200),
+         r2 AS (
+           SELECT rid, minx, miny,
+                  minx + CAST(rid %% 7 + 1 AS DOUBLE) * 23.0 AS maxx,
+                  miny + CAST(rid %% 5 + 1 AS DOUBLE) * 31.0 AS maxy
+           FROM r),
+         t AS (
+           SELECT rid,
+                  CAST(floor(minx / 33554432.0 * 1048576) AS BIGINT) AS tx0,
+                  CAST(floor(maxx / 33554432.0 * 1048576) AS BIGINT) AS tx1,
+                  1048575 - CAST(floor(maxy / 33554432.0 * 1048576) AS BIGINT) AS ty0,
+                  1048575 - CAST(floor(miny / 33554432.0 * 1048576) AS BIGINT) AS ty1
+           FROM r2)
+         SELECT rid, unnest(flatten([[5764607523034234880 + xi * 536870912 + yi
+                                      FOR yi IN range(ty0, ty1 + 1)]
+                                     FOR xi IN range(tx0, tx1 + 1)])) AS tile_id
+         FROM t""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
