@@ -390,6 +390,18 @@ object SparkEntry {
             col("maxx"), col("maxy"), lit(0.0).as("maxz")), lit(20))).as("tile_id"))
     }),
 
+    "q47_z_encode" -> ((s, dir) => {
+      // Morton (Z-order) cell key — the engine's exact-nesting S2-analog and
+      // the CellLayout clustering key — under the hard gate: power-of-two
+      // span and cell counts make floor((x-X0)/Span*n) exact double scaling,
+      // and the bit interleave + (morton<<6)|level packing replays in SQL
+      // with shift/mask comprehensions. Bit-for-bit id parity here is what
+      // makes cross-engine cell-key joins and layout reuse possible at all.
+      withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"),
+          graft.functions.GeoFunctions.z_encode(col("x"), col("y"), lit(18)).as("cell"))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1029,6 +1041,17 @@ object SparkEntry {
                                       FOR yi IN range(ty0, ty1 + 1)]
                                      FOR xi IN range(tx0, tx1 + 1)])) AS tile_id
          FROM t""",
+    "q47_z_encode" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
+         idx AS (
+           SELECT event_id,
+                  CAST(floor(x / 33554432.0 * 262144) AS BIGINT) AS ix,
+                  CAST(floor(y / 33554432.0 * 262144) AS BIGINT) AS iy
+           FROM pts)
+         SELECT event_id,
+                (CAST(list_sum([(((ix >> b) & 1) << (2*b)) + (((iy >> b) & 1) << (2*b + 1))
+                                FOR b IN range(0, 18)]) AS BIGINT) << 6) | 18 AS cell
+         FROM idx""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
