@@ -169,6 +169,48 @@ object ImageFunctions {
     }
   }
 
+  final case class SampledFrame(media_id: String, frame_idx: Int, ts_s: Double,
+                                frame: Array[Byte], stubbed: Boolean)
+
+  /**
+   * STUB-decode frame sampling: video bytes → one row per sampled frame at
+   * `fps` frames/second — the 1→N generator shape a multimodal training
+   * pipeline needs (sample frames, then run the image ops on each). The
+   * decode is the deterministic fake above (duration from the byte
+   * fingerprint; frame payload = 16 content-derived bytes), but the
+   * distributed plumbing is the real thing and is what the test pins:
+   * flatMap inside mapPartitions (no driver materialization, no
+   * row-per-frame shuffle — sampling happens where the bytes already are),
+   * scan pruned to (id, bytes), output fans out 1→N with deterministic
+   * frame content. Swap `fakeWaveformFeatures`/`fakeFrame` for a real
+   * decoder at deployment; the job shape does not change.
+   */
+  def sampleFrames(media: DataFrame, fps: Double = 1.0,
+                   idCol: String = "image_id", bytesCol: String = "bytes",
+                   maxFrames: Int = 64): Dataset[SampledFrame] = {
+    require(fps > 0 && maxFrames > 0, "fps and maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val meta = fakeWaveformFeatures(id, bytes)
+        val n = math.min(maxFrames, math.max(1, math.floor(meta.duration_s * fps).toInt))
+        (0 until n).iterator.map { i =>
+          SampledFrame(id, i, i / fps, fakeFrame(meta.fingerprint, i), stubbed = true)
+        }
+      }
+    }
+  }
+
+  /** STUB — deterministic 16-byte stand-in for a decoded frame. */
+  private def fakeFrame(fingerprint: Long, idx: Int): Array[Byte] = {
+    val h = Hashing.mix64(fingerprint ^ (idx.toLong * 0x9E3779B97F4A7C15L))
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) { out(i) = ((h >>> ((i % 8) * 8)) & 0xFF).toByte; i += 1 }
+    out
+  }
+
   /** STUB — deterministic fake standing in for an audio/video decoder. */
   private def fakeWaveformFeatures(id: String, bytes: Array[Byte]): AvFeature = {
     val fp = Hashing.fnv1a(bytes)

@@ -65,4 +65,27 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(f1.forall(_.stubbed))
     assert(f1.forall(x => x.duration_s >= 0 && x.duration_s < 30))
   }
+
+  test("frame sampling stub: 1→N fan-out, deterministic across partitioning, bounded") {
+    val fps = 2.0
+    val a = ImageFunctions.sampleFrames(imgs, fps = fps).collect()
+    val b = ImageFunctions.sampleFrames(imgs.repartition(7), fps = fps).collect()
+    // the fan-out is a pure function of the payload — identical rows (incl.
+    // frame bytes) under any partitioning
+    def key(s: ImageFunctions.SampledFrame) = (s.media_id, s.frame_idx)
+    assert(a.map(s => key(s) -> s.frame.toSeq).toMap === b.map(s => key(s) -> s.frame.toSeq).toMap)
+    // frame count per media = min(maxFrames, max(1, floor(duration*fps)))
+    val durations = ImageFunctions.extractAvFeatures(imgs).collect()
+      .map(f => f.media_id -> f.duration_s).toMap
+    val counts = a.groupBy(_.media_id).view.mapValues(_.length)
+    assert(counts.forall { case (id, n) =>
+      n == math.min(64, math.max(1, math.floor(durations(id) * fps).toInt)) })
+    // frame indices are dense 0..n-1 with ts = idx/fps; all marked stubbed
+    assert(a.forall(s => s.ts_s == s.frame_idx / fps && s.stubbed))
+    assert(a.groupBy(_.media_id).values.forall { fs =>
+      fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length) })
+    // distinct frames within one media (the fake varies by index)
+    assert(a.groupBy(_.media_id).values.forall { fs =>
+      fs.map(_.frame.toSeq).distinct.length == fs.length })
+  }
 }

@@ -15,6 +15,18 @@ class PlanQualitySpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("heavy-hitter top-k is TakeOrdered, never a global sort") {
+    // q44's orderBy(cnt desc, ngram).limit(50) must plan as
+    // TakeOrderedAndProject (per-partition bounded top-k + merge); a global
+    // Sort before the limit would shuffle-sort every distinct ngram
+    val q = graft.SparkEntry.queries("q44_ngram_topk")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+      s"global sort should not appear:\n$plan")
+  }
+
   test("filter + projection reach the parquet scan (PushedFilters, ReadSchema)") {
     val q = graft.SparkEntry.queries("q2_filter_project")(spark, sf)
     q.collect()
