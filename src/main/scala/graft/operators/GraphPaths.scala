@@ -36,7 +36,8 @@ object GraphPaths {
    * Output columns (node: long, dist: int, pred: long).
    */
   def bfsWithPred(edges: DataFrame, source: Long, maxDepth: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  stopAt: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
@@ -48,12 +49,20 @@ object GraphPaths {
     var frontier = visited
     var d = 0
     var frontierN = 1L
-    while (d < maxDepth && frontierN > 0) {
+    var found = stopAt.contains(source)
+    while (d < maxDepth && frontierN > 0 && !found) {
       val next = ck(frontier.join(e, frontier("node") === e("src"))
         .groupBy(e("dst").as("node")).agg(min(e("src")).as("pred"))
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d + 1).as("dist"), col("pred")))
-      frontierN = next.count()
+      // ONE action per round: frontier size + stop-node hit together — the
+      // early exit (BFS first discovery = minimal dist; the full frontier of
+      // the discovery round is already in `next`, so the min-parent pred of
+      // the stop node is final) must not cost an extra per-round job
+      val row = next.agg(count(lit(1)).as("n"),
+        max(when(col("node") === stopAt.getOrElse(Long.MinValue), 1L)).as("hit")).head()
+      frontierN = row.getLong(0)
+      found = stopAt.isDefined && !row.isNullAt(1)
       // no checkpoint needed: a union tree whose leaves are all checkpointed
       // is recompute-free, and its depth is bounded by maxDepth
       visited = visited.unionByName(next)
@@ -95,7 +104,11 @@ object GraphPaths {
                    checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val levels = bfsWithPred(edges, source, maxDepth, checkpointDir)
+    // stopAt: BFS terminates the round the target first appears — its dist is
+    // minimal and its min-parent is fixed by that round's full frontier, so
+    // later rounds could never change the reconstruction (reference parity:
+    // findShortestPath also stops at the target)
+    val levels = bfsWithPred(edges, source, maxDepth, checkpointDir, stopAt = Some(target))
     val distT = levels.where(col("node") === target)
       .select("dist").collect().headOption.map(_.getInt(0))
     distT match {
