@@ -402,6 +402,44 @@ object SparkEntry {
           graft.functions.GeoFunctions.z_encode(col("x"), col("y"), lit(18)).as("cell"))
     }),
 
+    "q48_pivot" -> ((s, dir) => {
+      // relational pivot (long → wide): per-user event-type counts through
+      // Spark's pivot API with an EXPLICIT value list — no extra
+      // distinct-values job, and the plan is a single hash aggregate over
+      // conditional counts (exactly what the oracle spells out with FILTER)
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      t(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    }),
+    "q49_moment_stats" -> ((s, dir) => {
+      // variance / correlation WITHOUT float-order nondeterminism: built-in
+      // stddev/corr sum doubles in partition order, so their last ulps vary
+      // run to run — unusable under a hash gate and a silent reproducibility
+      // trap at 100 TB. Instead: exact integer moments (BIGINT sums commute)
+      // in ONE partial-aggregable pass, then derive mean/std/corr in a final
+      // projection whose double arithmetic is mirrored token-for-token by
+      // the oracle. quantity and discount-percent are small ints — the
+      // moment sums stay far from overflow at any realistic scale.
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qv"),
+        round(col("l_discount") * 100).cast("long").as("dv"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("qv").as("sq"), sum(col("qv") * col("qv")).as("sqq"),
+        sum("dv").as("sd"), sum(col("dv") * col("dv")).as("sdd"),
+        sum(col("qv") * col("dv")).as("sqd"))
+      val nD = col("n").cast("double")
+      val sqD = col("sq").cast("double"); val sqqD = col("sqq").cast("double")
+      val sdD = col("sd").cast("double"); val sddD = col("sdd").cast("double")
+      val sqdD = col("sqd").cast("double")
+      m.select(col("l_returnflag"), col("n"),
+        (sqD / nD).as("mean_q"),
+        sqrt((sqqD - sqD * sqD / nD) / (nD - lit(1.0))).as("std_q"),
+        ((nD * sqdD - sqD * sdD) /
+          sqrt((nD * sqqD - sqD * sqD) * (nD * sddD - sdD * sdD))).as("corr_qd"))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1052,6 +1090,35 @@ object SparkEntry {
                 (CAST(list_sum([(((ix >> b) & 1) << (2*b)) + (((iy >> b) & 1) << (2*b + 1))
                                 FOR b IN range(0, 18)]) AS BIGINT) << 6) | 18 AS cell
          FROM idx""",
+    "q48_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'view') AS n_view,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'error') AS n_error
+         FROM events GROUP BY 1""",
+    "q49_moment_stats" ->
+      """WITH v AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS qv,
+                  CAST(round(l_discount * 100) AS BIGINT) AS dv
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(qv) AS BIGINT) AS sq, CAST(sum(qv * qv) AS BIGINT) AS sqq,
+                  CAST(sum(dv) AS BIGINT) AS sd, CAST(sum(dv * dv) AS BIGINT) AS sdd,
+                  CAST(sum(qv * dv) AS BIGINT) AS sqd
+           FROM v GROUP BY 1)
+         SELECT l_returnflag, n,
+                CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+                sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)) AS std_q,
+                (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_qd
+         FROM m""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
