@@ -440,6 +440,22 @@ object SparkEntry {
           sqrt((nD * sqqD - sqD * sqD) * (nD * sddD - sdD * sdD))).as("corr_qd"))
     }),
 
+    "q50_vec_norm" -> ((s, dir) => {
+      // embedding hygiene via declarative higher-order functions: per-vector
+      // L2 norm² as a sequential left fold (aggregate), flagging non-unit
+      // vectors — the pre-flight check before any cosine-based dedup/ANN.
+      // Both engines fold the float array left-to-right with a double
+      // accumulator, so the sums are bit-identical (verified row-for-row
+      // against an explicit sequential fold). The declarative HOF is the
+      // API-surface twin of the codegen vec_cosine kernel (q21): HOFs
+      // interpret per element, so hot paths use the kernel; this form is
+      // for ad-hoc SQL users.
+      t(s, dir, "embeddings").select(col("vec_id"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm2"))
+        .withColumn("is_unit", abs(col("norm2") - lit(1.0)) < lit(1e-5))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1119,6 +1135,11 @@ object SparkEntry {
                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
                        * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr_qd
          FROM m""",
+    "q50_vec_norm" ->
+      """SELECT vec_id,
+                list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2,
+                abs(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) - 1.0) < 0.00001 AS is_unit
+         FROM embeddings""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
