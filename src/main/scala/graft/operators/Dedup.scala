@@ -250,9 +250,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val ck = graft.core.Checkpoints.strategy(pairs, checkpointDir)
+    // pre-partition the static edge table by the per-round join key (b) so
+    // the checkpointed blocks satisfy every round's join distribution: only
+    // the small evolving label side shuffles per round. Without this, the
+    // distinct() leaves hash(a,b) partitioning and every round re-exchanges
+    // the FULL edge table — the dominant per-round cost at scale.
     val edges = ck(pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct())
+      .distinct()
+      .repartition(col("b")))
     var labels = ck(edges.select(col("a").as("node")).distinct()
       .withColumn("root", col("node")))
     var changed = 1L

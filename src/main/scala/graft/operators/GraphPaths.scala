@@ -41,9 +41,12 @@ object GraphPaths {
     val spark = edges.sparkSession
     import spark.implicits._
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
-    // materialize the edge table ONCE — each round joins the checkpointed
-    // blocks instead of re-running the upstream scan per round
-    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    // materialize the edge table ONCE, pre-partitioned by the per-round join
+    // key (src) — the checkpointed blocks then satisfy every round's join
+    // distribution, so only the small frontier shuffles per round instead of
+    // re-exchanging the full edge table each iteration
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")))
     var visited = ck(Seq(source).toDF("node")
       .withColumn("dist", lit(0)).withColumn("pred", lit(null).cast("long")))
     var frontier = visited

@@ -87,9 +87,15 @@ object KnnJoin {
     val spark = probes.sparkSession
     graft.functions.GeoFunctions.register(spark)
     val ck = graft.core.Checkpoints.strategy(probes, checkpointDir)
-    val t = targets.select(col("target_id").cast("string"),
+    // materialize the bucketed target table ONCE, pre-partitioned by the
+    // per-round join key (tcell): without this every round re-runs the
+    // target scan + hex_encode AND re-exchanges the full (huge, static)
+    // target side; with it, each round shuffles only the exploded ring
+    // cells of the still-pending probes
+    val t = ck(targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
+      .repartition(col("tcell")))
     // candidates carry (probe_id, target_id, d2) ONLY — the probe coordinates
     // live in `pending` and would otherwise ride every ranking shuffle
     def candOf(p: DataFrame): DataFrame = p
