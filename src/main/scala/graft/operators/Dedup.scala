@@ -250,15 +250,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     val ck = graft.core.Checkpoints.strategy(pairs, checkpointDir)
-    // pre-partition the static edge table by the per-round join key (b) so
-    // the checkpointed blocks satisfy every round's join distribution: only
-    // the small evolving label side shuffles per round. Without this, the
-    // distinct() leaves hash(a,b) partitioning and every round re-exchanges
-    // the FULL edge table — the dominant per-round cost at scale.
+    // pre-partition the static edge table by the per-round join key (b) and
+    // PERSIST: the cached InMemoryRelation advertises the hash(b) layout, so
+    // every round's join exchanges only the small evolving label side.
+    // localCheckpoint alone does NOT work here — under AQE the checkpointed
+    // LogicalRDD reports unknown partitioning and every round would
+    // re-exchange the FULL edge table (the dominant per-round cost at
+    // scale); the plan gate in PlanQualitySpec pins the working pattern.
     val edges = ck(pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .repartition(col("b")))
+      .distinct())
+      .repartition(col("b")).persist()
     var labels = ck(edges.select(col("a").as("node")).distinct()
       .withColumn("root", col("node")))
     var changed = 1L
@@ -280,6 +282,7 @@ object Dedup {
     // rounds; returning unconverged labels would silently split clusters
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
+    edges.unpersist(blocking = false) // result `labels` is checkpointed — independent
     labels
   }
 

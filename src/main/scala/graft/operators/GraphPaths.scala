@@ -42,11 +42,13 @@ object GraphPaths {
     import spark.implicits._
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     // materialize the edge table ONCE, pre-partitioned by the per-round join
-    // key (src) — the checkpointed blocks then satisfy every round's join
-    // distribution, so only the small frontier shuffles per round instead of
-    // re-exchanging the full edge table each iteration
-    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src")))
+    // key (src) and PERSISTED — the cached layout satisfies every round's
+    // join distribution, so only the small frontier shuffles per round
+    // instead of re-exchanging the full edge table each iteration. (persist,
+    // not checkpoint, carries the partitioning: under AQE a checkpointed
+    // LogicalRDD reports unknown partitioning — see the PlanQualitySpec gate)
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
+      .repartition(col("src")).persist()
     var visited = ck(Seq(source).toDF("node")
       .withColumn("dist", lit(0)).withColumn("pred", lit(null).cast("long")))
     var frontier = visited
@@ -72,6 +74,7 @@ object GraphPaths {
       frontier = next
       d += 1
     }
+    e.unpersist(blocking = false) // visited = union of checkpointed leaves — independent
     visited
   }
 

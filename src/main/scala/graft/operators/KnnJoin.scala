@@ -88,14 +88,16 @@ object KnnJoin {
     graft.functions.GeoFunctions.register(spark)
     val ck = graft.core.Checkpoints.strategy(probes, checkpointDir)
     // materialize the bucketed target table ONCE, pre-partitioned by the
-    // per-round join key (tcell): without this every round re-runs the
-    // target scan + hex_encode AND re-exchanges the full (huge, static)
-    // target side; with it, each round shuffles only the exploded ring
-    // cells of the still-pending probes
-    val t = ck(targets.select(col("target_id").cast("string"),
+    // per-round join key (tcell) and PERSISTED: without this every round
+    // re-runs the target scan + hex_encode AND re-exchanges the full (huge,
+    // static) target side; the cached layout means each round shuffles only
+    // the exploded ring cells of the still-pending probes. (persist carries
+    // the partitioning through AQE where a checkpoint would not — see the
+    // PlanQualitySpec gate)
+    val t = targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
-      .repartition(col("tcell")))
+      .repartition(col("tcell")).persist()
     // candidates carry (probe_id, target_id, d2) ONLY — the probe coordinates
     // live in `pending` and would otherwise ride every ranking shuffle
     def candOf(p: DataFrame): DataFrame = p
@@ -165,7 +167,10 @@ object KnnJoin {
       doneParts.foldLeft(rankTopK(openRows))(_ unionByName _)
     } else {
       // every probe finished through the ring bound: acc is empty — union
-      // the checkpointed result blocks directly, no tail ranking stage
+      // the checkpointed result blocks directly, no tail ranking stage.
+      // (the fallback branch above keeps t cached because its result plan
+      // still references it; here the blocks are self-contained)
+      t.unpersist(blocking = false)
       doneParts.reduce(_ unionByName _)
     }
   }

@@ -15,6 +15,38 @@ class PlanQualitySpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("persisted co-partitioned static side joins with no new exchange") {
+    // the load-bearing mechanism behind the iterative operators' layout
+    // reuse (connectedComponents / bfsWithPred / ringJoin): a PERSISTED
+    // repartition(col) advertises its hash layout through InMemoryRelation,
+    // so the per-round equi-join adds an Exchange only on the small evolving
+    // side. A localCheckpoint does NOT carry this under AQE (its LogicalRDD
+    // reports unknown partitioning and the static side re-exchanges every
+    // round) — measured, and pinned by the negative assertion below so a
+    // Spark upgrade changing either behavior fails loudly here instead of
+    // silently shifting the operators' scale shape.
+    val evolving = spark.range(200).select((col("id") % 500).as("k"), lit(1).as("state"))
+    def finalExchanges(static: org.apache.spark.sql.DataFrame): Int = {
+      val j = static.join(evolving, Seq("k"))
+      j.collect()
+      j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    }
+    val base = spark.range(10000).select((col("id") % 500).as("k"), col("id").as("payload"))
+    // broadcast off: the join must pick a distribution-requiring strategy,
+    // else broadcast hides the exchange question entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val persisted = base.repartition(col("k")).persist()
+      try assert(finalExchanges(persisted) == 1,
+        "persisted repartition(k) must satisfy the join distribution (evolving-side exchange only)")
+      finally persisted.unpersist(blocking = false)
+      assert(finalExchanges(base.repartition(col("k")).localCheckpoint(true)) == 2,
+        "localCheckpoint under AQE drops partitioning today — if this starts " +
+          "passing with 1 exchange, the operators can drop their persist() step")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("heavy-hitter top-k is TakeOrdered, never a global sort") {
     // q44's orderBy(cnt desc, ngram).limit(50) must plan as
     // TakeOrderedAndProject (per-partition bounded top-k + merge); a global
