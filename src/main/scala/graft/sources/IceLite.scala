@@ -213,6 +213,87 @@ object IceLite {
     (todo, skipped)
   }
 
+  /**
+   * Small-file compaction: rewrite each committed partition into at most
+   * `targetFiles` parquet files — the standard operational job after many
+   * incremental commits (10^4 partitions × dozens of small files kills scan
+   * throughput long before data volume does). Identity is PROVEN, not
+   * assumed: the rewritten partition's order-independent lineage (rows +
+   * checksum) must equal the manifest entry before the swap happens, so a
+   * buggy rewrite can never replace good data.
+   *
+   * Crash safety per partition (the same commit unit as writeResumable):
+   * the old dir is parked at `data/.compact_old_<esc>` (dot-prefixed —
+   * Spark's reader ignores hidden dirs, so a mid-compaction table stays
+   * readable), the rewrite moves in atomically, then the parked dir is
+   * deleted. [[compactRecover]] (run automatically at the start of compact)
+   * finishes either direction after a crash: final missing → restore the
+   * parked original; both present → drop the parked copy.
+   *
+   * Data is unchanged by construction, so the manifest lineage stays valid;
+   * a new snapshot version is still committed to record the rewrite.
+   * Returns (compacted, skipped-already-small) partition values.
+   */
+  def compact(spark: SparkSession, table: String, partCol: String,
+              targetFiles: Int = 1): (Seq[String], Seq[String]) = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    compactRecover(table)
+    val snap = currentSnapshot(table)
+    if (snap.partitions.isEmpty) return (Seq.empty, Seq.empty)
+    val stage = Paths.get(table, "_icelite_compact_stage")
+    deleteRecursive(stage)
+    val byPv = snap.partitions.map(p => p.partition -> p).toMap
+    var compacted = List.empty[String]
+    var skipped = List.empty[String]
+    snap.partitions.map(_.partition).sorted.foreach { pv =>
+      val dir = Paths.get(table, "data", escapePart(pv))
+      val nFiles = {
+        val s = Files.list(dir)
+        try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+      if (nFiles <= targetFiles) skipped ::= pv
+      else {
+        val part = spark.read.parquet(dir.toString)
+        val out = stage.resolve(escapePart(pv))
+        part.coalesce(targetFiles).write.mode("overwrite").parquet(out.toString)
+        // prove the rewrite is the same data BEFORE touching the live dir
+        val (rows, checksum) = lineageOf(spark.read.parquet(out.toString))
+        val want = byPv(pv)
+        require(rows == want.rows && checksum == want.checksum,
+          s"IceLite.compact: rewrite of '$pv' does not match manifest " +
+            s"(rows $rows vs ${want.rows}, checksum $checksum vs ${want.checksum}) — aborting before swap")
+        val parked = Paths.get(table, "data", ".compact_old_" + escapePart(pv))
+        deleteRecursive(parked)
+        Files.move(dir, parked, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(out, dir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursive(parked)
+        compacted ::= pv
+      }
+    }
+    deleteRecursive(stage)
+    if (compacted.nonEmpty)
+      commitSnapshot(table, Snapshot(snap.version + 1, snap.partitions))
+    (compacted.reverse, skipped.reverse)
+  }
+
+  /** Finish an interrupted compaction swap (see [[compact]]): for each parked
+    * `.compact_old_<esc>` dir, restore it if the live dir is missing (crash
+    * between the two moves), otherwise the rewrite landed — drop the parked
+    * copy. Idempotent; safe to run on a healthy table. */
+  def compactRecover(table: String): Unit = {
+    val data = Paths.get(table, "data")
+    if (!Files.isDirectory(data)) return
+    val s = Files.list(data)
+    val parked = try s.filter(_.getFileName.toString.startsWith(".compact_old_"))
+      .toArray.toSeq.map(_.asInstanceOf[Path]) finally s.close()
+    parked.foreach { old =>
+      val live = data.resolve(old.getFileName.toString.stripPrefix(".compact_old_"))
+      if (!Files.exists(live)) Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+      else deleteRecursive(old)
+    }
+  }
+
   private def deleteRecursive(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       // Files.list must be closed explicitly or each visited directory leaks

@@ -81,6 +81,56 @@ class TileIceSpec extends AnyFunSuite {
     assert(a.toString === b.toString, "content checksum differs after resume")
   }
 
+  test("IceLite: compaction shrinks files, proves identity, survives a mid-swap crash") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_compact").toString
+    val table = s"$dir/events_by_type"
+    // many small files per partition: repartition high before the write
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(24)
+    IceLite.writeResumable(df, table, "event_type")
+    def files(pv: String) = {
+      val d = java.nio.file.Paths.get(table, "data", IceLite.escapePart(pv))
+      val s = java.nio.file.Files.list(d)
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = files("click")
+    assert(before > 1, s"fixture should start with many files, got $before")
+    val v0 = IceLite.currentSnapshot(table).version
+
+    val (compacted, skipped) = IceLite.compact(spark, table, "event_type")
+    assert(compacted.nonEmpty && skipped.isEmpty)
+    assert(files("click") === 1, "compaction must leave one file per partition")
+    // identity: audit green, content multiset unchanged, snapshot advanced
+    assert(IceLite.verifyLineage(spark, table, "event_type").forall(_._2))
+    assert(IceLite.read(spark, table).count() === df.count())
+    assert(IceLite.currentSnapshot(table).version === v0 + 1)
+
+    // second compact: nothing left to do, no version churn
+    val (c2, s2) = IceLite.compact(spark, table, "event_type")
+    assert(c2.isEmpty && s2.toSet === compacted.toSet)
+    assert(IceLite.currentSnapshot(table).version === v0 + 1)
+
+    // crash window 1: old parked, rewrite never moved in (live dir missing)
+    val live = java.nio.file.Paths.get(table, "data", "click")
+    val parked = java.nio.file.Paths.get(table, "data", ".compact_old_click")
+    java.nio.file.Files.move(live, parked)
+    assert(!java.nio.file.Files.exists(live))
+    IceLite.compactRecover(table)
+    assert(java.nio.file.Files.exists(live) && !java.nio.file.Files.exists(parked),
+      "recovery must restore the parked original when the live dir is missing")
+    assert(IceLite.verifyLineage(spark, table, "event_type").forall(_._2))
+
+    // crash window 2: rewrite moved in, parked copy left behind
+    val parkedCopy = java.nio.file.Paths.get(table, "data", ".compact_old_error")
+    java.nio.file.Files.createDirectories(parkedCopy)
+    java.nio.file.Files.write(parkedCopy.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    IceLite.compactRecover(table)
+    assert(!java.nio.file.Files.exists(parkedCopy),
+      "recovery must drop the parked copy when the live dir exists")
+    // hidden parked dirs never leak into reads (dot-prefix is reader-invisible)
+    assert(IceLite.read(spark, table).count() === df.count())
+  }
+
   test("IceLite: path-hostile partition values are escaped, round-trip, and audit") {
     val dir = java.nio.file.Files.createTempDirectory("icelite_esc").toString
     val table = s"$dir/hostile"
