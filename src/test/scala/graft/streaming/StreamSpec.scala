@@ -38,6 +38,48 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming LSH candidates + batch verify == batch lshPairs (q19 semantics)") {
+    // replay the documents table as a 2-chunk stream; every candidate pair
+    // the incremental detector emits, verified with the batch exact-Jaccard
+    // step, must equal the batch lshPairs output (identical signatures →
+    // identical buckets; no bucket exceeds the cap at this scale)
+    val d = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text", "lang")
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    for (i <- 0 until 2) {
+      docs.where(col("doc_id") >= i * n / 2 && col("doc_id") < (i + 1) * n / 2)
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100)
+    }
+    val q = DedupStream.lshCandidates(spark, d).writeStream
+      .format("memory").queryName("lsh_cand").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val cand = spark.table("lsh_cand")
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    // batch verify step on the streamed candidates (same tokenization as lshPairs)
+    val toks = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }.toMap
+    val verified = cand.filter { case (a, b) =>
+      val (sa, sb) = (toks(a), toks(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble >= 0.5
+    }
+    val batch = graft.operators.Dedup.lshPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified === batch)
+    assert(batch.nonEmpty, "fixture must contain near-duplicate documents")
+
+    // bounded state: with a cap of 2 ids per bucket, each (band, bucket)
+    // emits at most ONE pair ever, however many documents land in it
+    val q2 = DedupStream.lshCandidates(spark, d, maxBucket = 2).writeStream
+      .format("memory").queryName("lsh_cand_capped").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val perBucket = spark.table("lsh_cand_capped")
+      .groupBy("band", "bucket").count().agg(max("count")).head().getLong(0)
+    assert(perBucket <= 1, "capped buckets must stop emitting after maxBucket members")
+  }
+
   test("streaming exact dedup drops re-delivered events; state bounded by watermark") {
     // simulate at-least-once delivery: the same chunk of events lands twice
     // in separate files, then a later chunk advances the watermark
