@@ -320,6 +320,22 @@ object IceLite {
     spark.read.option("recursiveFileLookup", "true").parquet(s"$table/data")
 
   /**
+   * Time travel: read the table AS OF snapshot `version`. Valid because
+   * commits are append-only at partition granularity — a partition, once in
+   * a manifest, is never rewritten with different content (resume skips it;
+   * compaction must prove identical lineage before swapping) — so the data
+   * dirs named by manifest vN still hold exactly vN's rows. Old manifests
+   * are retained (`_icelite/vN.json`), making every historical version
+   * addressable at zero storage cost beyond the tiny JSON.
+   */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    require(version >= 1, s"version must be >= 1, got $version")
+    val snap = readSnapshot(table, version)
+    val dirs = snap.partitions.map(p => s"$table/data/${escapePart(p.partition)}")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /**
    * Audit: recompute lineage per committed partition and compare with the
    * manifest — the metrics-table verification the north rule asks for.
    * ONE grouped aggregation over the whole table (a per-partition read loop

@@ -131,6 +131,29 @@ class TileIceSpec extends AnyFunSuite {
     assert(IceLite.read(spark, table).count() === df.count())
   }
 
+  test("IceLite: time travel reads exactly the partitions of a historical snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_tt").toString
+    val table = s"$dir/events_by_type"
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // v1..v2: two partitions committed, then the rest in later versions
+    IceLite.writeResumable(df.where(col("event_type").isin("click", "error")), table, "event_type")
+    val vMid = IceLite.currentSnapshot(table).version
+    IceLite.writeResumable(df, table, "event_type")
+    val vHead = IceLite.currentSnapshot(table).version
+    assert(vHead > vMid)
+
+    val asOfMid = IceLite.readVersion(spark, table, vMid)
+    assert(asOfMid.select("event_type").distinct().as[String].collect().toSet
+      === Set("click", "error"))
+    assert(asOfMid.count() === df.where(col("event_type").isin("click", "error")).count())
+    // head version == full table == plain read
+    assert(IceLite.readVersion(spark, table, vHead).count() === df.count())
+    // time travel still works after compaction (content-preserving rewrite)
+    IceLite.compact(spark, table, "event_type")
+    assert(IceLite.readVersion(spark, table, vMid).count()
+      === df.where(col("event_type").isin("click", "error")).count())
+  }
+
   test("IceLite: path-hostile partition values are escaped, round-trip, and audit") {
     val dir = java.nio.file.Files.createTempDirectory("icelite_esc").toString
     val table = s"$dir/hostile"
