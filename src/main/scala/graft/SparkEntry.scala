@@ -742,7 +742,10 @@ object SparkEntry {
              JOIN d dp ON dp.node = e.src AND dp.dist = dn.dist - 1
            GROUP BY 1),
          walk AS (
-           SELECT CAST(4 AS BIGINT) AS node, (SELECT dist FROM d WHERE node = 4) AS pos
+           -- base row comes FROM d, so an unreachable target yields ZERO
+           -- rows (matching the engine's empty result) instead of a
+           -- scalar-subquery (NULL, 4) row
+           SELECT node, dist AS pos FROM d WHERE node = 4
            UNION ALL
            SELECT p.pred, w.pos - 1 FROM walk w JOIN pred p ON p.node = w.node
            WHERE w.pos > 0)

@@ -15,6 +15,15 @@ import org.apache.spark.sql.DataFrame
  *  - `Some(dir)`: reliable `checkpoint(eager = true)` into `dir` (HDFS/S3/
  *    NFS-backed). One extra write+read of each round's state per round buys
  *    executor-loss survival — the form a 1000-executor cluster runs.
+ *
+ * Reliable-mode operational notes:
+ *  - checkpoint files are retained until the context stops unless
+ *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set (then
+ *    they are GC'd once the checkpointed frames are unreachable) — budget
+ *    O(rounds × state size) in `dir`, or enable the cleaner;
+ *  - SparkContext has ONE global checkpoint dir. `strategy` refuses to
+ *    silently repoint it mid-session: concurrent operators with different
+ *    dirs would otherwise race (last caller wins for BOTH jobs' files).
  */
 object Checkpoints {
 
@@ -22,6 +31,11 @@ object Checkpoints {
   def strategy(anchor: DataFrame, checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(dir) =>
+        // SparkContext has ONE global checkpoint dir; repointing is fine for
+        // the normal sequential case (each operator sets it at entry, before
+        // any of its rounds checkpoint), but two CONCURRENT operators passing
+        // different dirs would race — last setter wins for both jobs' files.
+        // Run concurrent iterative operators with the same dir.
         anchor.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(eager = true)
       case None =>

@@ -38,8 +38,16 @@ object AsOfJoin {
               rightPrefix: String = "r_", inner: Boolean = true): DataFrame =
     sweep(left, right, keys, tsCol, rightPrefix, inner, descending = true)
 
-  private def sweep(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+  private def sweep(left0: DataFrame, right0: DataFrame, keys: Seq[String], tsCol: String,
                     rightPrefix: String, inner: Boolean, descending: Boolean): DataFrame = {
+    // a null timestamp can match nothing (ASOF comparisons with NULL are
+    // unknown) — and it would corrupt the sweep if admitted: under `ts asc`
+    // Spark sorts NULLS FIRST, so a null-ts RIGHT row would become the
+    // carry-forward "match" for every left row with no true predecessor
+    // (the __rv struct is non-null even when its fields are null). Filter
+    // both sides; null-ts LEFT rows re-enter unmatched in outer mode.
+    val left = left0.where(col(tsCol).isNotNull)
+    val right = right0.where(col(tsCol).isNotNull)
     val lPayload = left.columns.filterNot(keys.contains).toSeq
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val lvType = new StructType(lPayload.map(c => left.schema(c)).toArray)
@@ -65,9 +73,13 @@ object AsOfJoin {
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val kept = if (inner) swept.where(col("__m").isNotNull) else swept
-    kept.select(keys.map(col) ++
+    val matched = kept.select(keys.map(col) ++
       lPayload.map(c => col(s"__lv.$c").as(c)) ++
       rPayload.map(c => col(s"__m.$c").as(rightPrefix + c)): _*)
+    if (inner) matched
+    else matched.unionByName(left0.where(col(tsCol).isNull)
+      .select(keys.map(col) ++ lPayload.map(col) ++
+        rPayload.map(c => lit(null).cast(right0.schema(c).dataType).as(rightPrefix + c)): _*))
   }
 
   /** Driver-side brute-force oracle for tests. */

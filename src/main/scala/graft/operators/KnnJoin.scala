@@ -162,9 +162,14 @@ object KnnJoin {
       // ring budget exhausted with probes still open (far-field stragglers —
       // by construction a small set): exact fallback join instead of a
       // silently truncated top-k; distinct() drops the re-met candidates
-      // (duplicate rows are identical in every column, scalars only)
+      // (duplicate rows are identical in every column, scalars only).
+      // Materialize the tail ranking eagerly so the cached target table can
+      // be released here too — otherwise the returned plan would pin the
+      // (huge by premise) persisted t for the session
       val openRows = acc.unionByName(candOf(pending.crossJoin(t))).distinct()
-      doneParts.foldLeft(rankTopK(openRows))(_ unionByName _)
+      val tail = ck(rankTopK(openRows))
+      t.unpersist(blocking = false)
+      doneParts.foldLeft(tail)(_ unionByName _)
     } else {
       // every probe finished through the ring bound: acc is empty — union
       // the checkpointed result blocks directly, no tail ranking stage.

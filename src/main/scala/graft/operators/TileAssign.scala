@@ -63,11 +63,18 @@ object TileAssign {
    */
   def auto(points: DataFrame, fps: Dataset[Footprint], zooms: Seq[Int],
            broadcastLimit: Long = 2000000L): DataFrame = {
-    // cache the exploded small side so the sizing count and the join read
-    // one materialization (cache, not localCheckpoint: lineage survives
-    // executor loss, and the side is small by definition here)
-    val ft = featureTiles(fps, zooms).cache()
-    if (ft.count() <= broadcastLimit)
+    // size the exploded side WITHOUT materializing it: the exploded row
+    // count is exactly Σ per-feature cover sizes, computable as one narrow
+    // aggregation over array lengths. No cache — the previous form cached
+    // the full explode for the sizing count, which pinned a multi-million-
+    // row relation for the session precisely when the side was too big to
+    // broadcast; each branch's join now computes the explode exactly once.
+    val cnt = fps.toDF().select(
+      zooms.map(z => sum(size(graft.functions.GeoFunctions.tile_cover(
+        col("env"), lit(z)))).cast("long")).reduce(_ + _).as("n"))
+      .head().getLong(0)
+    val ft = featureTiles(fps, zooms)
+    if (cnt <= broadcastLimit)
       pointTiles(points, zooms).join(broadcast(ft), Seq("zoom", "tile_id"))
     else
       pointTiles(points, zooms).hint("merge").join(ft, Seq("zoom", "tile_id"))

@@ -148,6 +148,7 @@ object IceLite {
   def writeResumable(df: DataFrame, table: String, partCol: String,
                      inListLimit: Int = 1000): (Seq[String], Seq[String]) = {
     Files.createDirectories(metaDir(table))
+    compactRecover(table) // heal a crashed compaction swap before appending
     val snap = currentSnapshot(table)
     val allRaw = df.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0))
@@ -315,9 +316,15 @@ object IceLite {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the committed table back (partition col lives in the data files). */
-  def read(spark: SparkSession, table: String): DataFrame =
+  /** Read the committed table back (partition col lives in the data files).
+    * Runs [[compactRecover]] first, so a compaction that crashed inside its
+    * swap window (live dir parked, rewrite not yet moved in) is healed
+    * before any rows are served — without this, the hidden parked dir would
+    * make the table silently MISSING that partition for every reader. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    compactRecover(table)
     spark.read.option("recursiveFileLookup", "true").parquet(s"$table/data")
+  }
 
   /**
    * Time travel: read the table AS OF snapshot `version`. Valid because
@@ -330,6 +337,7 @@ object IceLite {
    */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
     require(version >= 1, s"version must be >= 1, got $version")
+    compactRecover(table) // heal a crashed compaction swap before serving
     val snap = readSnapshot(table, version)
     val dirs = snap.partitions.map(p => s"$table/data/${escapePart(p.partition)}")
     spark.read.parquet(dirs: _*)

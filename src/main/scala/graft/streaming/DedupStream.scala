@@ -54,9 +54,10 @@ object DedupStream {
       .parquet(path)
       .where(size(split(col("text"), " ")) >= ngram)
       .select(col("doc_id") +: graft.operators.Dedup.minhashSig(sh, perms): _*)
+    // band is 0-BASED, matching the batch operator's posexplode numbering
+    // (Dedup.lshPairs) — stream and batch diagnostics join on band directly
     val banded = sigs.select(col("doc_id"),
-      posexplode(array((1 to perms).map(p => col(s"m$p")): _*)).as(Seq("b0", "bucket")))
-      .select(col("doc_id"), (col("b0") + 1).as("band"), col("bucket"))
+      posexplode(array((1 to perms).map(p => col(s"m$p")): _*)).as(Seq("band", "bucket")))
       .as[(Long, Int, String)]
     banded
       .groupByKey { case (_, band, bucket) => (band, bucket) }

@@ -72,7 +72,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
    */
   private def pickRes(ringExpr: Expression, polySide: LogicalPlan): Int =
     conf.getConfString(ResConf, "").trim match {
-      case s if s.nonEmpty => s.toInt
+      case s if s.nonEmpty =>
+        // validate here with a clear message — a bare toInt would surface a
+        // NumberFormatException from deep inside Catalyst for every query in
+        // the session, and an out-of-range res is an invalid hex resolution
+        val r = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$ResConf must be an integer hex resolution 0..${HexGrid.MaxRes}, got '$s'")
+        }
+        require(r >= 0 && r <= HexGrid.MaxRes,
+          s"$ResConf out of range 0..${HexGrid.MaxRes}: $r")
+        r
       case _ =>
         val budget = conf.getConfString(BudgetConf, "256").toInt
         maxEnvelopeSpan(ringExpr, polySide) match {

@@ -43,6 +43,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("null timestamps never match: right nulls ignored, left nulls dropped/unmatched") {
+    // a null-ts right row sorts NULLS FIRST under the sweep's ascending
+    // order — without filtering it would become the carry-forward "match"
+    // for every left row with no true predecessor
+    val lDf = Seq((1L, Option(100L), "a"), (1L, Option.empty[Long], "b"))
+      .toDF("k", "ts", "tag")
+    val rDf = Seq((1L, Option.empty[Long], 1.0), (1L, Option(50L), 2.0))
+      .toDF("k", "ts", "value")
+    val inner = AsOfJoin.backward(lDf, rDf, Seq("k"), "ts")
+      .select("k", "ts", "tag", "r_ts", "r_value")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    assert(inner === Set((1L, 100L, "a", 50L, 2.0)),
+      "only the real (ts=50) right row may match; null-ts rows on either side must not")
+    val outer = AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", inner = false)
+      .select("tag", "r_ts").as[(String, Option[Long])].collect().toSet
+    assert(outer === Set(("a", Some(50L)), ("b", None)),
+      "outer keeps the null-ts left row, unmatched")
+    val fwd = AsOfJoin.forward(lDf, rDf, Seq("k"), "ts")
+      .select("tag").as[String].collect().toSet
+    assert(fwd === Set.empty[String], "no right ts >= 100 exists; null rows must not fill in")
+  }
+
   test("equal timestamps match inclusively; matches never cross keys or look ahead") {
     val lDf = Seq((1L, 100L, "a"), (1L, 99L, "b"), (2L, 100L, "c")).toDF("k", "ts", "tag")
     val rDf = Seq((1L, 100L, 7.0), (2L, 101L, 9.0)).toDF("k", "ts", "value")
