@@ -261,29 +261,30 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct())
       .repartition(col("b")).persist()
-    var labels = ck(edges.select(col("a").as("node")).distinct()
-      .withColumn("root", col("node")))
-    var changed = 1L
-    var i = 0
-    while (i < maxIters && changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("b"), col("root")), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min("root").as("nbr_root"))
-      val next = ck(labels.select(col("node"), col("root").as("old_root"))
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("old_root"), coalesce(col("nbr_root"), col("old_root"))).as("root"),
-          col("old_root")))
-      changed = next.where(col("root") =!= col("old_root")).count()
-      labels = next.select("node", "root")
-      i += 1
-    }
-    // converge or fail loudly — min-label propagation needs O(diameter)
-    // rounds; returning unconverged labels would silently split clusters
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
-    edges.unpersist(blocking = false) // result `labels` is checkpointed — independent
-    labels
+    try {
+      var labels = ck(edges.select(col("a").as("node")).distinct()
+        .withColumn("root", col("node")))
+      var changed = 1L
+      var i = 0
+      while (i < maxIters && changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("b"), col("root")), Seq("b"))
+          .groupBy(col("a").as("node")).agg(min("root").as("nbr_root"))
+        val next = ck(labels.select(col("node"), col("root").as("old_root"))
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("old_root"), coalesce(col("nbr_root"), col("old_root"))).as("root"),
+            col("old_root")))
+        changed = next.where(col("root") =!= col("old_root")).count()
+        labels = next.select("node", "root")
+        i += 1
+      }
+      // converge or fail loudly — min-label propagation needs O(diameter)
+      // rounds; returning unconverged labels would silently split clusters
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
+      labels
+    } finally edges.unpersist(blocking = false) // labels are checkpointed — independent
   }
 
   /** Per-cluster summary: (cluster_root = min doc id, csize). */

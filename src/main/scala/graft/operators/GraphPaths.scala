@@ -49,6 +49,7 @@ object GraphPaths {
     // LogicalRDD reports unknown partitioning — see the PlanQualitySpec gate)
     val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
       .repartition(col("src")).persist()
+    try {
     var visited = ck(Seq(source).toDF("node")
       .withColumn("dist", lit(0)).withColumn("pred", lit(null).cast("long")))
     var frontier = visited
@@ -74,8 +75,8 @@ object GraphPaths {
       frontier = next
       d += 1
     }
-    e.unpersist(blocking = false) // visited = union of checkpointed leaves — independent
     visited
+    } finally e.unpersist(blocking = false) // visited = checkpointed leaves — independent
   }
 
   /**

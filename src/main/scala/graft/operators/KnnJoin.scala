@@ -98,6 +98,7 @@ object KnnJoin {
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
       .repartition(col("tcell")).persist()
+    try {
     // candidates carry (probe_id, target_id, d2) ONLY — the probe coordinates
     // live in `pending` and would otherwise ride every ranking shuffle
     def candOf(p: DataFrame): DataFrame = p
@@ -163,21 +164,18 @@ object KnnJoin {
       // by construction a small set): exact fallback join instead of a
       // silently truncated top-k; distinct() drops the re-met candidates
       // (duplicate rows are identical in every column, scalars only).
-      // Materialize the tail ranking eagerly so the cached target table can
-      // be released here too — otherwise the returned plan would pin the
-      // (huge by premise) persisted t for the session
+      // Materialize the tail ranking eagerly so the returned plan references
+      // only checkpointed blocks — the finally below can then release the
+      // (huge by premise) persisted target table on every exit path
       val openRows = acc.unionByName(candOf(pending.crossJoin(t))).distinct()
       val tail = ck(rankTopK(openRows))
-      t.unpersist(blocking = false)
       doneParts.foldLeft(tail)(_ unionByName _)
     } else {
       // every probe finished through the ring bound: acc is empty — union
-      // the checkpointed result blocks directly, no tail ranking stage.
-      // (the fallback branch above keeps t cached because its result plan
-      // still references it; here the blocks are self-contained)
-      t.unpersist(blocking = false)
+      // the checkpointed result blocks directly, no tail ranking stage
       doneParts.reduce(_ unionByName _)
     }
+    } finally t.unpersist(blocking = false) // result = checkpointed blocks only
   }
 
   /** Driver-side brute-force oracle (tests). */
@@ -187,7 +185,7 @@ object KnnJoin {
       targets.map { case (tid, cx, cy) =>
         val dx = cx - x; val dy = cy - y
         (tid, dx * dx + dy * dy)
-      }.sortBy(t => (t._2, t._1)).take(k).zipWithIndex.map {
+      }.sortBy(c => (c._2, c._1)).take(k).zipWithIndex.map {
         case ((tid, d2), i) => (pid, tid, d2, i + 1)
       }
     }

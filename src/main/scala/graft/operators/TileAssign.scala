@@ -69,10 +69,17 @@ object TileAssign {
     // the full explode for the sizing count, which pinned a multi-million-
     // row relation for the session precisely when the side was too big to
     // broadcast; each branch's join now computes the explode exactly once.
-    val cnt = fps.toDF().select(
-      zooms.map(z => sum(size(graft.functions.GeoFunctions.tile_cover(
-        col("env"), lit(z)))).cast("long")).reduce(_ + _).as("n"))
-      .head().getLong(0)
+    val cnt = if (zooms.isEmpty) 0L
+      else {
+        val row = fps.toDF().select(
+          // coalesce: sum over ZERO rows (empty footprint set) is null, and
+          // head().getLong would NPE — degenerate inputs must size to 0 and
+          // fall through to an empty join, like the pre-sizing form did
+          coalesce(zooms.map(z => sum(size(graft.functions.GeoFunctions.tile_cover(
+            col("env"), lit(z)))).cast("long")).reduce(_ + _), lit(0L)).as("n"))
+          .head()
+        row.getLong(0)
+      }
     val ft = featureTiles(fps, zooms)
     if (cnt <= broadcastLimit)
       pointTiles(points, zooms).join(broadcast(ft), Seq("zoom", "tile_id"))

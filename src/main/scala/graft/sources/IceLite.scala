@@ -224,12 +224,13 @@ object IceLite {
    * buggy rewrite can never replace good data.
    *
    * Crash safety per partition (the same commit unit as writeResumable):
-   * the old dir is parked at `data/.compact_old_<esc>` (dot-prefixed —
-   * Spark's reader ignores hidden dirs, so a mid-compaction table stays
-   * readable), the rewrite moves in atomically, then the parked dir is
-   * deleted. [[compactRecover]] (run automatically at the start of compact)
-   * finishes either direction after a crash: final missing → restore the
-   * parked original; both present → drop the parked copy.
+   * the old dir is parked under the reserved `_icelite_parked/` sibling of
+   * `data/` (outside the reader's scan, and immune to collisions with
+   * legally dot-prefixed partition values), the rewrite moves in atomically,
+   * then the parked dir is deleted. [[compactRecover]] (run automatically at
+   * the start of compact AND by read/readVersion/writeResumable) finishes
+   * either direction after a crash: live dir missing → restore the parked
+   * original; both present → drop the parked copy.
    *
    * Data is unchanged by construction, so the manifest lineage stays valid;
    * a new snapshot version is still committed to record the rewrite.
@@ -237,59 +238,88 @@ object IceLite {
    */
   def compact(spark: SparkSession, table: String, partCol: String,
               targetFiles: Int = 1): (Seq[String], Seq[String]) = {
-    require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(targetFiles == 1,
+      "IceLite.compact currently supports targetFiles = 1 (one file per partition " +
+        "after the single staged rewrite; raise if a partition must span files)")
     compactRecover(table)
     val snap = currentSnapshot(table)
     if (snap.partitions.isEmpty) return (Seq.empty, Seq.empty)
-    val stage = Paths.get(table, "_icelite_compact_stage")
-    deleteRecursive(stage)
     val byPv = snap.partitions.map(p => p.partition -> p).toMap
-    var compacted = List.empty[String]
-    var skipped = List.empty[String]
-    snap.partitions.map(_.partition).sorted.foreach { pv =>
+    // driver-side fs listing picks the oversized partitions — O(P) cheap
+    // metadata ops, NOT O(P) Spark jobs
+    val (todo, skipped) = snap.partitions.map(_.partition).sorted.partition { pv =>
       val dir = Paths.get(table, "data", escapePart(pv))
-      val nFiles = {
-        val s = Files.list(dir)
-        try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+      val s = Files.list(dir)
+      val n = try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
         finally s.close()
-      }
-      if (nFiles <= targetFiles) skipped ::= pv
-      else {
-        val part = spark.read.parquet(dir.toString)
-        val out = stage.resolve(escapePart(pv))
-        part.coalesce(targetFiles).write.mode("overwrite").parquet(out.toString)
-        // prove the rewrite is the same data BEFORE touching the live dir
-        val (rows, checksum) = lineageOf(spark.read.parquet(out.toString))
-        val want = byPv(pv)
-        require(rows == want.rows && checksum == want.checksum,
-          s"IceLite.compact: rewrite of '$pv' does not match manifest " +
-            s"(rows $rows vs ${want.rows}, checksum $checksum vs ${want.checksum}) — aborting before swap")
-        val parked = Paths.get(table, "data", ".compact_old_" + escapePart(pv))
-        deleteRecursive(parked)
-        Files.move(dir, parked, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(out, dir, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursive(parked)
-        compacted ::= pv
-      }
+      n > targetFiles
     }
-    deleteRecursive(stage)
-    if (compacted.nonEmpty)
-      commitSnapshot(table, Snapshot(snap.version + 1, snap.partitions))
-    (compacted.reverse, skipped.reverse)
+    if (todo.isEmpty) return (Seq.empty, skipped)
+
+    // ONE distributed job rewrites every oversized partition (repartition by
+    // the key puts each partition's rows in a single task → one output file
+    // per partition under partitionBy), then ONE grouped aggregation proves
+    // per-partition identity against the manifest — the same O(1)-jobs shape
+    // as writeResumable; only the swap loop is per-partition, and it is pure
+    // driver-side metadata
+    val stage = s"$table/_icelite_compact_stage"
+    deleteRecursive(Paths.get(stage))
+    val dirs = todo.map(pv => s"$table/data/${escapePart(pv)}")
+    val src = spark.read.parquet(dirs: _*)
+    src.repartition(col(partCol))
+      .withColumn("__pk", col(partCol).cast("string"))
+      .write.mode("overwrite").partitionBy("__pk").parquet(stage)
+    val origCols = src.columns.toSeq
+    val staged = spark.read.parquet(stage)
+    val aggs = lineageAggs(staged.select(origCols.map(col): _*))
+    val got = staged.groupBy(col(partCol).cast("string").as("__pv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("0")))
+      .toMap
+    todo.foreach { pv =>
+      val want = byPv(pv)
+      val (rows, checksum) = got.getOrElse(pv,
+        throw new IllegalStateException(s"IceLite.compact: partition '$pv' missing from rewrite"))
+      require(rows == want.rows && checksum == want.checksum,
+        s"IceLite.compact: rewrite of '$pv' does not match manifest " +
+          s"(rows $rows vs ${want.rows}, checksum $checksum vs ${want.checksum}) — aborting before swap")
+    }
+    todo.foreach { pv =>
+      val from = Paths.get(stage, "__pk=" + (if (pv.isEmpty)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv)))
+      val live = Paths.get(table, "data", escapePart(pv))
+      val parked = parkedDir(table).resolve(escapePart(pv))
+      Files.createDirectories(parked.getParent)
+      deleteRecursive(parked)
+      Files.move(live, parked, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(from, live, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursive(parked)
+    }
+    deleteRecursive(Paths.get(stage))
+    commitSnapshot(table, Snapshot(snap.version + 1, snap.partitions))
+    (todo, skipped)
   }
 
+  /** Parked-original dirs live OUTSIDE `data/` in a reserved sibling — a
+    * partition VALUE can legally escape to any name (leading dots included),
+    * so an in-`data/` park prefix could collide with real partition dirs. */
+  private def parkedDir(table: String): Path = Paths.get(table, "_icelite_parked")
+
   /** Finish an interrupted compaction swap (see [[compact]]): for each parked
-    * `.compact_old_<esc>` dir, restore it if the live dir is missing (crash
-    * between the two moves), otherwise the rewrite landed — drop the parked
-    * copy. Idempotent; safe to run on a healthy table. */
+    * dir, restore it if the live dir is missing (crash between the two
+    * moves), otherwise the rewrite landed — drop the parked copy. Idempotent;
+    * safe to run on a healthy table. */
   def compactRecover(table: String): Unit = {
-    val data = Paths.get(table, "data")
-    if (!Files.isDirectory(data)) return
-    val s = Files.list(data)
-    val parked = try s.filter(_.getFileName.toString.startsWith(".compact_old_"))
-      .toArray.toSeq.map(_.asInstanceOf[Path]) finally s.close()
+    val park = parkedDir(table)
+    if (!Files.isDirectory(park)) return
+    val s = Files.list(park)
+    val parked = try s.toArray.toSeq.map(_.asInstanceOf[Path]) finally s.close()
     parked.foreach { old =>
-      val live = data.resolve(old.getFileName.toString.stripPrefix(".compact_old_"))
+      val live = Paths.get(table, "data", old.getFileName.toString)
       if (!Files.exists(live)) Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
       else deleteRecursive(old)
     }

@@ -42,15 +42,22 @@ object DedupStream {
   final case class BucketState(ids: List[Long])
   final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int, bucket: String)
 
+  /** `maxFilesPerTrigger`: None = let the source take everything available
+    * per micro-batch (production backfill of many files proceeds at full
+    * rate); Some(n) throttles — tests pass Some(1) for a deterministic
+    * arrival order. The PAIR SET is order-independent below the cap either
+    * way; only capped-bucket membership depends on arrival order. */
   def lshCandidates(spark: SparkSession, path: String,
                     perms: Int = 4, ngram: Int = 3,
-                    maxBucket: Int = 100): DataFrame = {
+                    maxBucket: Int = 100,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     require(perms >= 1 && perms <= 4,
       s"perms must be 1..4 (a 32-hex md5 digest yields 4 8-char slices; got $perms)")
     val sh = graft.operators.Dedup.shingles(graft.operators.Dedup.tokens(col("text")), ngram)
-    val sigs = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
+    val reader0 = spark.readStream.schema(docSchema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val sigs = reader
       .parquet(path)
       .where(size(split(col("text"), " ")) >= ngram)
       .select(col("doc_id") +: graft.operators.Dedup.minhashSig(sh, perms): _*)

@@ -112,7 +112,8 @@ class TileIceSpec extends AnyFunSuite {
 
     // crash window 1: old parked, rewrite never moved in (live dir missing)
     val live = java.nio.file.Paths.get(table, "data", "click")
-    val parked = java.nio.file.Paths.get(table, "data", ".compact_old_click")
+    val parked = java.nio.file.Paths.get(table, "_icelite_parked", "click")
+    java.nio.file.Files.createDirectories(parked.getParent)
     java.nio.file.Files.move(live, parked)
     assert(!java.nio.file.Files.exists(live))
     IceLite.compactRecover(table)
@@ -121,13 +122,24 @@ class TileIceSpec extends AnyFunSuite {
     assert(IceLite.verifyLineage(spark, table, "event_type").forall(_._2))
 
     // crash window 2: rewrite moved in, parked copy left behind
-    val parkedCopy = java.nio.file.Paths.get(table, "data", ".compact_old_error")
+    val parkedCopy = java.nio.file.Paths.get(table, "_icelite_parked", "error_stale")
     java.nio.file.Files.createDirectories(parkedCopy)
     java.nio.file.Files.write(parkedCopy.resolve("stale.parquet"), Array[Byte](1, 2, 3))
+    // live "error_stale" does not exist → recover must RESTORE it (treats the
+    // parked dir as the only copy); then clean it up for the read check
+    IceLite.compactRecover(table)
+    assert(!java.nio.file.Files.exists(parkedCopy) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(table, "data", "error_stale")),
+      "recovery restores a parked dir whose live counterpart is missing")
+    // and when BOTH exist, the parked copy is dropped
+    java.nio.file.Files.createDirectories(parkedCopy)
     IceLite.compactRecover(table)
     assert(!java.nio.file.Files.exists(parkedCopy),
       "recovery must drop the parked copy when the live dir exists")
-    // hidden parked dirs never leak into reads (dot-prefix is reader-invisible)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(table, "data", "error_stale").resolve("stale.parquet"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(table, "data", "error_stale"))
+    // parked dirs live outside data/ and never leak into reads
     assert(IceLite.read(spark, table).count() === df.count())
   }
 

@@ -51,7 +51,7 @@ class StreamSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(d)
       Thread.sleep(1100)
     }
-    val q = DedupStream.lshCandidates(spark, d).writeStream
+    val q = DedupStream.lshCandidates(spark, d, maxFilesPerTrigger = Some(1)).writeStream
       .format("memory").queryName("lsh_cand").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val cand = spark.table("lsh_cand")
@@ -72,7 +72,8 @@ class StreamSpec extends AnyFunSuite {
 
     // bounded state: with a cap of 2 ids per bucket, each (band, bucket)
     // emits at most ONE pair ever, however many documents land in it
-    val q2 = DedupStream.lshCandidates(spark, d, maxBucket = 2).writeStream
+    val q2 = DedupStream.lshCandidates(spark, d, maxBucket = 2,
+        maxFilesPerTrigger = Some(1)).writeStream
       .format("memory").queryName("lsh_cand_capped").outputMode("append").start()
     q2.processAllAvailable(); q2.stop()
     val perBucket = spark.table("lsh_cand_capped")
