@@ -1,0 +1,171 @@
+/*
+ * Misra-Gries heavy-hitters sketch as a Catalyst aggregate — the bounded-
+ * memory companion to the exact top-k frequency query (q44). The exact form
+ * must hold every distinct item through the aggregation; at 100 TB the
+ * distinct n-gram set is itself too large to group cheaply. freq_topk keeps
+ * at most `capacity` counters per partial aggregate and merges them, giving
+ * the classic deterministic guarantee REGARDLESS of processing order:
+ *
+ *   - every item with true frequency > n / capacity IS in the summary;
+ *   - each reported estimate e satisfies true - n/capacity <= e <= true.
+ *
+ * Counts (not membership) depend on arrival order, so this is an operator +
+ * guarantee-tested surface, not a hash-compared oracle query — the same
+ * split as ANN: exact baseline under the DuckDB gate (q44), sketch as the
+ * scale path (FreqSketchSpec asserts the guarantees under adversarial
+ * partitionings).
+ */
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable Misra-Gries summary: ≤ capacity counters + the total items seen
+  * (n, for the error bound) + the total decrement applied (the per-item
+  * estimate error is bounded by it). */
+final class MGSummary(val capacity: Int) {
+  val counts: mutable.HashMap[UTF8String, Long] = mutable.HashMap.empty
+  var n: Long = 0L
+
+  def add(item: UTF8String, w: Long): Unit = {
+    n += w
+    counts.get(item) match {
+      case Some(c) => counts.update(item, c + w)
+      case None =>
+        if (counts.size < capacity) counts.update(item.clone(), w)
+        else decrement(w)
+    }
+  }
+
+  /** The MG step: an unseen item with no free counter decrements everyone;
+    * counters hitting zero free their slot. Decrementing by min(w, minCount)
+    * at once keeps add() amortized O(1) for weighted inserts. */
+  private def decrement(w: Long): Unit = {
+    var rem = w
+    while (rem > 0 && counts.size >= capacity) {
+      val minC = counts.valuesIterator.min
+      val step = math.min(rem, minC)
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
+      counts.mapValuesInPlace((_, c) => c - step)
+      counts.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(counts.remove)
+      rem -= step
+      if (counts.size < capacity) rem = 0 // a slot opened; the remaining
+      // weight of THIS item was absorbed as error (standard MG accounting)
+    }
+  }
+
+  /** Mergeable-summaries combine (Agarwal et al.): add counters pointwise,
+    * then if over capacity subtract the (capacity+1)-th largest count from
+    * all and drop the non-positive — errors add, so the merged bound is
+    * (n1+n2)/capacity. */
+  def mergeFrom(o: MGSummary): Unit = {
+    n += o.n
+    o.counts.foreach { case (k, c) =>
+      counts.update(k, counts.getOrElse(k, 0L) + c)
+    }
+    if (counts.size > capacity) {
+      val sorted = counts.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = sorted(capacity) // (capacity+1)-th largest
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
+      counts.mapValuesInPlace((_, c) => c - cut)
+      counts.foreach { case (k, c) => if (c <= 0) dead += k }
+      dead.foreach(counts.remove)
+    }
+  }
+}
+
+/**
+ * freq_topk(item, capacity, k) → array<struct<item: string, est: long>>:
+ * the k highest-estimate items of a Misra-Gries(capacity) summary, ordered
+ * by (est desc, item asc).
+ */
+@ExpressionDescription(usage = "freq_topk(item, capacity, k) - bounded-memory heavy hitters (Misra-Gries)")
+case class FreqSketchAgg(
+    child: Expression, capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MGSummary] {
+
+  require(capacity >= 1 && k >= 1 && k <= capacity,
+    s"freq_topk: need 1 <= k <= capacity, got k=$k capacity=$capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("item", StringType).add("est", LongType), containsNull = false)
+
+  override def createAggregationBuffer(): MGSummary = new MGSummary(capacity)
+
+  override def update(b: MGSummary, input: InternalRow): MGSummary = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String], 1L)
+    b
+  }
+
+  override def merge(b: MGSummary, o: MGSummary): MGSummary = { b.mergeFrom(o); b }
+
+  override def eval(b: MGSummary): Any = {
+    val top = b.counts.toArray
+      .sortBy { case (item, c) => (-c, item) }
+      .take(k)
+    new GenericArrayData(top.map { case (item, c) => InternalRow(item, c) })
+  }
+
+  override def serialize(b: MGSummary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(b.n)
+    out.writeInt(b.counts.size)
+    b.counts.foreach { case (item, c) =>
+      val bytes = item.getBytes
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGSummary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new MGSummary(capacity)
+    b.n = in.readLong()
+    val m = in.readInt()
+    var i = 0
+    while (i < m) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len); in.readFully(arr)
+      b.counts.update(UTF8String.fromBytes(arr), in.readLong())
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqSketchAgg =
+    copy(child = c(0))
+  override def prettyName: String = "freq_topk"
+}
+
+object FreqSketchAgg {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** SQL builder: freq_topk(item, capacity, k) with int-literal bounds. */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 3, "freq_topk(item, capacity, k) takes 3 arguments")
+    def lit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"freq_topk: $name must be an integer literal, got $other")
+    }
+    FreqSketchAgg(es.head, lit(es(1), "capacity"), lit(es(2), "k")).toAggregateExpression()
+  }
+}

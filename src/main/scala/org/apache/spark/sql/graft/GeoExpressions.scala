@@ -372,6 +372,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("freq_topk", FreqSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("tile_cover", es => TileCoverExpr(es(0), es(1)), "built-in")

@@ -146,4 +146,7 @@ object TextFunctionsImpl {
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
   def shingle_make(text: Column, n: Column): Column =
     column(ShingleMakeExpr(expression(text), expression(n)))
+  /** Bounded-memory heavy hitters (Misra-Gries) — see FreqSketchAgg. */
+  def freq_topk(item: Column, capacity: Int, k: Int): Column =
+    column(FreqSketchAgg(expression(item), capacity, k).toAggregateExpression())
 }
