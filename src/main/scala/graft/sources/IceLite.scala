@@ -215,10 +215,12 @@ object IceLite {
   }
 
   /**
-   * Small-file compaction: rewrite each committed partition into at most
-   * `targetFiles` parquet files — the standard operational job after many
-   * incremental commits (10^4 partitions × dozens of small files kills scan
-   * throughput long before data volume does). Identity is PROVEN, not
+   * Small-file compaction: rewrite each multi-file committed partition into
+   * ONE parquet file — the standard operational job after many incremental
+   * commits (10^4 partitions × dozens of small files kills scan throughput
+   * long before data volume does; a partition large enough to WANT several
+   * files belongs in a finer partitioning, not in compaction policy).
+   * Identity is PROVEN, not
    * assumed: the rewritten partition's order-independent lineage (rows +
    * checksum) must equal the manifest entry before the swap happens, so a
    * buggy rewrite can never replace good data.
@@ -236,11 +238,7 @@ object IceLite {
    * a new snapshot version is still committed to record the rewrite.
    * Returns (compacted, skipped-already-small) partition values.
    */
-  def compact(spark: SparkSession, table: String, partCol: String,
-              targetFiles: Int = 1): (Seq[String], Seq[String]) = {
-    require(targetFiles == 1,
-      "IceLite.compact currently supports targetFiles = 1 (one file per partition " +
-        "after the single staged rewrite; raise if a partition must span files)")
+  def compact(spark: SparkSession, table: String, partCol: String): (Seq[String], Seq[String]) = {
     compactRecover(table)
     val snap = currentSnapshot(table)
     if (snap.partitions.isEmpty) return (Seq.empty, Seq.empty)
@@ -252,7 +250,7 @@ object IceLite {
       val s = Files.list(dir)
       val n = try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
         finally s.close()
-      n > targetFiles
+      n > 1
     }
     if (todo.isEmpty) return (Seq.empty, skipped)
 

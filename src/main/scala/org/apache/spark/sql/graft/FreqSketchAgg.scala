@@ -39,26 +39,23 @@ final class MGSummary(val capacity: Int) {
     counts.get(item) match {
       case Some(c) => counts.update(item, c + w)
       case None =>
-        if (counts.size < capacity) counts.update(item.clone(), w)
-        else decrement(w)
-    }
-  }
-
-  /** The MG step: an unseen item with no free counter decrements everyone;
-    * counters hitting zero free their slot. Decrementing by min(w, minCount)
-    * at once keeps add() amortized O(1) for weighted inserts. */
-  private def decrement(w: Long): Unit = {
-    var rem = w
-    while (rem > 0 && counts.size >= capacity) {
-      val minC = counts.valuesIterator.min
-      val step = math.min(rem, minC)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      counts.mapValuesInPlace((_, c) => c - step)
-      counts.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(counts.remove)
-      rem -= step
-      if (counts.size < capacity) rem = 0 // a slot opened; the remaining
-      // weight of THIS item was absorbed as error (standard MG accounting)
+        // weighted MG step: while no slot is free, one decrement "round"
+        // destroys step × (capacity + 1) weight (step off every counter,
+        // step of the arriving item); once a counter hits zero its slot
+        // frees and the item's RESIDUAL weight is inserted — discarding it
+        // would break the membership guarantee for w > 1 (a heavy item
+        // arriving as one weighted add must survive)
+        var rem = w
+        while (rem > 0 && counts.size >= capacity) {
+          val minC = counts.valuesIterator.min
+          val step = math.min(rem, minC)
+          val dead = mutable.ArrayBuffer.empty[UTF8String]
+          counts.mapValuesInPlace((_, c) => c - step)
+          counts.foreach { case (k, c) => if (c <= 0) dead += k }
+          dead.foreach(counts.remove)
+          rem -= step
+        }
+        if (rem > 0) counts.update(item.clone(), rem)
     }
   }
 
@@ -92,11 +89,15 @@ case class FreqSketchAgg(
     child: Expression, capacity: Int, k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MGSummary] {
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[MGSummary]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(capacity >= 1 && k >= 1 && k <= capacity,
     s"freq_topk: need 1 <= k <= capacity, got k=$k capacity=$capacity")
 
+  // declared input type → a non-string item column is a clear analysis-time
+  // error (or a useful implicit cast), not a per-task ClassCastException
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()

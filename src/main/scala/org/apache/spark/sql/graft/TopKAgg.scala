@@ -59,10 +59,14 @@ final class TopKBuffer(val k: Int) {
 case class KnnTopKAgg(
     d2Child: Expression, idChild: Expression, k: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[TopKBuffer] {
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k >= 1, s"knn_topk: k must be >= 1, got $k")
 
+  // declared input types → wrong column types fail at analysis (or cast),
+  // not as per-task ClassCastExceptions inside the aggregate
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, StringType)
   override def children: Seq[Expression] = Seq(d2Child, idChild)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()

@@ -40,6 +40,19 @@ class FreqSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("MGSummary weighted add: a heavy item arriving as ONE weighted insert survives") {
+    // regression: the residual weight after decrement rounds must be
+    // INSERTED, not discarded — discarding broke the membership guarantee
+    // for w > 1 (capacity=2, {a:1, b:1}, then add(c, 1000))
+    val s = new MGSummary(2)
+    s.add(u("a"), 1); s.add(u("b"), 1)
+    s.add(u("c"), 1000)
+    assert(s.n === 1002)
+    val est = s.counts.map { case (k, v) => k.toString -> v }.toMap
+    assert(est.contains("c"), s"weighted heavy hitter evicted: $est")
+    assert(est("c") <= 1000 && 1000 - est("c") <= 1002 / 3 + 1)
+  }
+
   test("freq_topk aggregate: guarantees hold on the real corpus under adversarial partitioning") {
     val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(size(split(col("text"), " ")) >= 3)
