@@ -166,8 +166,13 @@ object ScaleBench {
       if (java.nio.file.Files.exists(path)) {
         val old = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val i = old.indexOf(marker)
-        if (i >= 0) "\n" + old.substring(i) else ""
-      } else ""
+        // a hand-edited BENCH.md that lost the marker must not silently lose
+        // its whole hand-maintained appendix — refuse and say how to fix it
+        require(i >= 0, s"BENCH.md exists but lacks the '$marker' marker; " +
+          "restore the marker line (everything below it is hand-maintained) " +
+          "or delete BENCH.md to start fresh")
+        "\n" + old.substring(i)
+      } else s"\n$marker (hand-maintained per-query appendix goes below) -->\n"
     java.nio.file.Files.write(path, (md + tail).getBytes("UTF-8"))
   }
 }

@@ -21,9 +21,10 @@ import org.apache.spark.sql.DataFrame
  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set (then
  *    they are GC'd once the checkpointed frames are unreachable) — budget
  *    O(rounds × state size) in `dir`, or enable the cleaner;
- *  - SparkContext has ONE global checkpoint dir. `strategy` refuses to
- *    silently repoint it mid-session: concurrent operators with different
- *    dirs would otherwise race (last caller wins for BOTH jobs' files).
+ *  - SparkContext has ONE global checkpoint dir. `strategy` repoints it at
+ *    operator entry — safe for the normal sequential case, but CONCURRENT
+ *    iterative operators passing different dirs race (last setter wins for
+ *    both jobs' files): run concurrent operators with the same dir.
  */
 object Checkpoints {
 

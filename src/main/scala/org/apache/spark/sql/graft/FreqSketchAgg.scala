@@ -28,54 +28,96 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Mutable Misra-Gries summary: ≤ capacity counters + the total items seen
-  * (n, for the error bound) + the total decrement applied (the per-item
-  * estimate error is bounded by it). */
+  * (n, for the error bound). Counters are held as RAW values over a running
+  * `base` offset (true count = raw − base) and indexed by a count-ordered
+  * bucket tree, so the MG eviction round — "decrement EVERY counter by the
+  * minimum, drop the zeros" — is O(1) base arithmetic plus O(deaths) bucket
+  * removal instead of an O(capacity) full-map sweep per non-resident
+  * arrival (which degraded toward O(rows × capacity) on low-skew data).
+  * Semantics are IDENTICAL to the textbook min-scan form. */
 final class MGSummary(val capacity: Int) {
-  val counts: mutable.HashMap[UTF8String, Long] = mutable.HashMap.empty
+  /** Counter entry: the CANONICAL (cloned, stable) key + its raw count. The
+    * bucket index must hold canonical keys only — an UnsafeRow-backed
+    * UTF8String handed to `add` aliases a reused row buffer, and storing it
+    * in a hash set corrupts the set when the buffer is overwritten. */
+  private final class Ent(val key: UTF8String, var r: Long)
+  private val ents = mutable.HashMap.empty[UTF8String, Ent]
+  private val buckets = mutable.TreeMap.empty[Long, mutable.HashSet[UTF8String]]
+  private var base = 0L
   var n: Long = 0L
+
+  /** Current estimates (item → true count); O(size) snapshot. */
+  def counts: Map[UTF8String, Long] =
+    ents.iterator.map { case (_, e) => e.key -> (e.r - base) }.toMap
+
+  def size: Int = ents.size
+
+  private def bucketAdd(key: UTF8String, r: Long): Unit =
+    buckets.getOrElseUpdate(r, mutable.HashSet.empty) += key
+
+  private def bucketRemove(key: UTF8String, r: Long): Unit = {
+    val s = buckets(r)
+    s -= key
+    if (s.isEmpty) buckets.remove(r)
+  }
+
+  /** Insert an OWNED (stable) key at a known true count (deserialize /
+    * rebuild path — never call with a reused-buffer UTF8String). */
+  def load(key: UTF8String, c: Long): Unit = {
+    ents.update(key, new Ent(key, base + c))
+    bucketAdd(key, base + c)
+  }
 
   def add(item: UTF8String, w: Long): Unit = {
     n += w
-    counts.get(item) match {
-      case Some(c) => counts.update(item, c + w)
+    ents.get(item) match {
+      case Some(e) =>
+        bucketRemove(e.key, e.r)
+        e.r += w
+        bucketAdd(e.key, e.r)
       case None =>
         // weighted MG step: while no slot is free, one decrement "round"
-        // destroys step × (capacity + 1) weight (step off every counter,
-        // step of the arriving item); once a counter hits zero its slot
-        // frees and the item's RESIDUAL weight is inserted — discarding it
-        // would break the membership guarantee for w > 1 (a heavy item
-        // arriving as one weighted add must survive)
+        // destroys step × (capacity + 1) weight (step off every counter +
+        // step of the arriving item). The uniform decrement is base += step
+        // — O(1) instead of an O(capacity) full-map sweep — and only the
+        // minimum bucket can die, freeing its slots. The RESIDUAL weight is
+        // inserted — discarding it would break the membership guarantee for
+        // w > 1 (a heavy item arriving as one weighted add must survive).
         var rem = w
-        while (rem > 0 && counts.size >= capacity) {
-          val minC = counts.valuesIterator.min
-          val step = math.min(rem, minC)
-          val dead = mutable.ArrayBuffer.empty[UTF8String]
-          counts.mapValuesInPlace((_, c) => c - step)
-          counts.foreach { case (k, c) => if (c <= 0) dead += k }
-          dead.foreach(counts.remove)
+        while (rem > 0 && ents.size >= capacity) {
+          val minRaw = buckets.firstKey
+          val step = math.min(rem, minRaw - base)
+          base += step
           rem -= step
+          if (minRaw - base <= 0) {
+            val dead = buckets.remove(minRaw).get
+            dead.foreach(ents.remove) // each death frees a slot — amortized O(1)
+          }
         }
-        if (rem > 0) counts.update(item.clone(), rem)
+        if (rem > 0) load(item.clone(), rem)
     }
   }
 
   /** Mergeable-summaries combine (Agarwal et al.): add counters pointwise,
     * then if over capacity subtract the (capacity+1)-th largest count from
     * all and drop the non-positive — errors add, so the merged bound is
-    * (n1+n2)/capacity. */
+    * (n1+n2)/capacity. Rebuilds the bucket index once per merge (merges are
+    * O(partials), never per-row). */
   def mergeFrom(o: MGSummary): Unit = {
     n += o.n
-    o.counts.foreach { case (k, c) =>
-      counts.update(k, counts.getOrElse(k, 0L) + c)
+    val merged = mutable.HashMap.empty[UTF8String, Long]
+    ents.foreach { case (_, e) => merged.update(e.key, e.r - base) }
+    o.ents.foreach { case (_, e) =>
+      merged.update(e.key, merged.getOrElse(e.key, 0L) + (e.r - o.base))
     }
-    if (counts.size > capacity) {
-      val sorted = counts.values.toArray.sorted(Ordering[Long].reverse)
+    if (merged.size > capacity) {
+      val sorted = merged.values.toArray.sorted(Ordering[Long].reverse)
       val cut = sorted(capacity) // (capacity+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      counts.mapValuesInPlace((_, c) => c - cut)
-      counts.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(counts.remove)
+      merged.mapValuesInPlace((_, c) => c - cut)
+      merged.filterInPlace((_, c) => c > 0)
     }
+    ents.clear(); buckets.clear(); base = 0L
+    merged.foreach { case (k, c) => load(k, c) }
   }
 }
 
@@ -124,7 +166,7 @@ case class FreqSketchAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(b.n)
-    out.writeInt(b.counts.size)
+    out.writeInt(b.size)
     b.counts.foreach { case (item, c) =>
       val bytes = item.getBytes
       out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
@@ -141,7 +183,7 @@ case class FreqSketchAgg(
     while (i < m) {
       val len = in.readInt()
       val arr = new Array[Byte](len); in.readFully(arr)
-      b.counts.update(UTF8String.fromBytes(arr), in.readLong())
+      b.load(UTF8String.fromBytes(arr), in.readLong())
       i += 1
     }
     b

@@ -84,7 +84,14 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           s"$ResConf out of range 0..${HexGrid.MaxRes}: $r")
         r
       case _ =>
-        val budget = conf.getConfString(BudgetConf, "256").toInt
+        // validated like ResConf: a bare toInt would surface an opaque
+        // NumberFormatException from inside the optimizer for every query
+        val budgetStr = conf.getConfString(BudgetConf, "256").trim
+        val budget = try budgetStr.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$BudgetConf must be a positive integer cell budget, got '$budgetStr'")
+        }
+        require(budget > 0, s"$BudgetConf must be positive, got $budget")
         maxEnvelopeSpan(ringExpr, polySide) match {
           case Some(span) =>
             var r = Res
@@ -125,7 +132,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               i += 1
             }
             math.max(maxx - minx, maxy - miny)
-          }.filter(s => !s.isInfinite).toSeq
+            // empty rings yield MinValue - MaxValue (finite but hugely
+            // negative) — require non-negative, not just finite, or the
+            // stats-driven res coarsens off a garbage span
+          }.filter(s => s.isFinite && s >= 0).toSeq
           if (spans.isEmpty) None else Some(spans.max)
         }
       case _ => None
