@@ -86,11 +86,39 @@ object Dedup {
         posexplode(array((1 to perms).map(p =>
           substring(col("h0"), (p - 1) * 8 + 1, 8)): _*)).as(Seq("band", "h")))
     val buckets0 = hashes.groupBy("id", "band").agg(min("h").as("bucket"))
-    // cap enforcement: aggregate the (rare, by the frequent-shingle premise)
-    // oversized buckets and anti-join them out — the same shuffle count as
-    // the previous count-window form but with map-side partial aggregation
-    // and NO per-partition sort of every (id, band, bucket) row; AQE picks a
-    // broadcast anti-join when the oversized set is small (the normal case)
+    jaccardVerify(bandCandidates(buckets0, maxBucket), toks, minJaccard)
+  }
+
+  /**
+   * Generalized banded MinHash near-dup pairs — the production recall knob.
+   * `bands` × `rows` seeded 64-bit permutations via the one-pass codegen
+   * kernel [[org.apache.spark.sql.graft.MinHashKernel]]; a pair with shingle
+   * Jaccard j collides in ≥1 band with prob 1 − (1 − j^rows)^bands, so
+   * (16, 4) puts the S-curve midpoint at j ≈ (1/16)^(1/4) ≈ 0.5 and web-scale
+   * corpora tune (b, r) freely — the md5-slice [[lshPairs]] (≤4 single-perm
+   * bands) stays as the ANSI-SQL/DuckDB-oracle-parity mode. Same shuffle
+   * shape: band-key equi-join on ids only, oversized buckets capped out,
+   * exact token-Jaccard verify per distinct candidate pair.
+   */
+  def lshPairsBanded(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     bands: Int = 16, rows: Int = 4, ngram: Int = 3,
+                     minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 1 && rows >= 1, s"need bands, rows >= 1; got ($bands, $rows)")
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val buckets0 = docs.select(col(idCol).as("id"),
+      posexplode(org.apache.spark.sql.graft.TextFunctionsImpl.minhash_bands(
+        col(textCol), lit(ngram), lit(bands), lit(rows))).as(Seq("band", "bucket")))
+    jaccardVerify(bandCandidates(buckets0, maxBucket), toks, minJaccard)
+  }
+
+  /** (id, band, bucket) → distinct candidate id pairs sharing any band
+    * bucket, with oversized buckets capped out. Cap enforcement aggregates
+    * the (rare, by the frequent-shingle premise) oversized buckets and
+    * anti-joins them — map-side partial aggregation, no per-partition sort
+    * of every bucket row; AQE picks a broadcast anti-join when the oversized
+    * set is small (the normal case). */
+  private def bandCandidates(buckets0: DataFrame, maxBucket: Int): DataFrame = {
     val oversized = buckets0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > maxBucket)
@@ -98,9 +126,15 @@ object Dedup {
     val buckets = buckets0.join(oversized, Seq("band", "bucket"), "left_anti")
     val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact token-set Jaccard verify over distinct candidate pairs: tokens are
+    * re-attached per pair with two equi-joins (ids-only shuffles upstream),
+    * then the threshold filter. */
+  private def jaccardVerify(pairs: DataFrame, toks: DataFrame, minJaccard: Double): DataFrame =
     pairs
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
@@ -109,7 +143,6 @@ object Dedup {
           size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
       .where(col("jac") >= minJaccard)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
-  }
 
   /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
   def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
@@ -124,42 +157,18 @@ object Dedup {
   /** 64-bit SimHash over word tokens. Per-word hash = the top 64 bits of
     * md5(word) — chosen over a custom integer mix so the whole operator is
     * ANSI-SQL-expressible (hex-digit bit extraction) and DuckDB-oracle-checked
-    * as q20; empty tokens are skipped on both sides. */
-  def simhash64(text: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val counts = new Array[Int](64)
-    text.toLowerCase.split(" ").foreach { w =>
-      if (w.nonEmpty) {
-        md.reset()
-        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var h = 0L
-        var i = 0
-        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
-  }
+    * as q20; empty tokens are skipped on both sides. Delegates to the codegen
+    * kernel so the scalar and columnar paths cannot drift. */
+  def simhash64(text: String): Long =
+    org.apache.spark.sql.graft.SimHashKernel.evalString(text)
 
-  /** doc_id + simhash (typed map; the bit loop is not expressible in Catalyst). */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .toDF(idCol, "simhash")
-  }
+  /** doc_id + simhash — a codegen [[org.apache.spark.sql.graft.SimHashExpr]]
+    * (the earlier typed `Dataset.map` forced an Encoder round-trip:
+    * DeserializeToObject/SerializeFromObject broke whole-stage codegen and
+    * column pruning through the stage; PlanQualitySpec pins the clean plan). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as(idCol),
+      org.apache.spark.sql.graft.TextFunctionsImpl.simhash64(col(textCol)).as("simhash"))
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxHamming.
@@ -235,56 +244,110 @@ object Dedup {
   /**
    * Connected components over a near-duplicate pair graph — the grouping
    * step every real dedup pipeline needs (keep ONE document per transitive
-   * duplicate CLUSTER, not per pair). Hash-min label propagation: each
-   * round every node takes the minimum root among itself and its
-   * neighbours; converges in O(component diameter) rounds. Each round is
-   * one equi-join + one min-aggregation over (node, root) scalars, eagerly
-   * checkpointed — the standard distributed CC shape without dropping to
-   * RDD/GraphX. Input pairs (a, b); output (node, root) with root = min
-   * node id of the component.
+   * duplicate CLUSTER, not per pair). Alternating large-star / small-star
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+   * the edge set itself is rewired toward min-rooted stars, converging in
+   * O(log n) ROUNDS — round count is independent of component DIAMETER,
+   * unlike label propagation, whose O(diameter) barriers are the failure
+   * mode on templated-text duplicate chains (A~B~C~…) in web corpora.
+   * Each round is two groupBy+join passes over the current edge set plus a
+   * distinct, eagerly checkpointed. Input pairs (a, b); output (node, root)
+   * with root = min node id of the component.
    *
    * `checkpointDir`: see [[graft.core.Checkpoints]] — unset uses local
    * checkpoints (fastest; local-mode/testing), set uses reliable checkpoints
    * that survive executor loss on a real cluster.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters, checkpointDir)._1
+
+  /** One large-star pass: for every node u, connect each strictly LARGER
+    * neighbour to the minimum of u's closed neighbourhood. Input/output in
+    * canonical (u > v) orientation; output not yet deduped — emitted edges
+    * (v, m) always satisfy v > u ≥ m, so orientation is preserved and no
+    * self-loops arise. Implemented as groupBy(min) + equi-join, never a
+    * per-node collect, so hub nodes cannot blow up a single task. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    bidir.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** One small-star pass: for every node u, connect its strictly SMALLER
+    * neighbourhood (and u itself) to that neighbourhood's minimum. Emitted
+    * edges stay canonical: (v, m) has v > m by v ≠ m, and (u, m) has u > m
+    * because every small-neighbour is < u. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    e.join(mins, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+  }
+
+  /** [[connectedComponents]] plus the number of (large-star, small-star)
+    * rounds taken — the O(log n) claim is testable, not asserted. */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 50,
+                                    checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val ck = graft.core.Checkpoints.strategy(pairs, checkpointDir)
-    // pre-partition the static edge table by the per-round join key (b) and
-    // PERSIST: the cached InMemoryRelation advertises the hash(b) layout, so
-    // every round's join exchanges only the small evolving label side.
-    // localCheckpoint alone does NOT work here — under AQE the checkpointed
-    // LogicalRDD reports unknown partitioning and every round would
-    // re-exchange the FULL edge table (the dominant per-round cost at
-    // scale); the plan gate in PlanQualitySpec pins the working pattern.
-    val edges = ck(pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct())
-      .repartition(col("b")).persist()
-    try {
-      var labels = ck(edges.select(col("a").as("node")).distinct()
-        .withColumn("root", col("node")))
-      var changed = 1L
-      var i = 0
-      while (i < maxIters && changed > 0) {
-        val nbrMin = edges
-          .join(labels.select(col("node").as("b"), col("root")), Seq("b"))
-          .groupBy(col("a").as("node")).agg(min("root").as("nbr_root"))
-        val next = ck(labels.select(col("node"), col("root").as("old_root"))
-          .join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("old_root"), coalesce(col("nbr_root"), col("old_root"))).as("root"),
-            col("old_root")))
-        changed = next.where(col("root") =!= col("old_root")).count()
-        labels = next.select("node", "root")
-        i += 1
-      }
-      // converge or fail loudly — min-label propagation needs O(diameter)
-      // rounds; returning unconverged labels would silently split clusters
-      require(changed == 0,
-        s"connectedComponents did not converge in $maxIters rounds ($changed labels still moving)")
-      labels
-    } finally edges.unpersist(blocking = false) // labels are checkpointed — independent
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-insensitive AND overflow-free under ANSI mode (a
+      // sum of 64-bit hashes overflows); edges are distinct so xor never
+      // self-cancels
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // canonical orientation u > v, self-loops dropped; kept (checkpointed —
+    // a block-manager re-read, never an upstream recompute) for the final
+    // agreement audit
+    val edges0 = ck(pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var edges = edges0
+    var sig = checksum(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      // dedup BETWEEN the passes too: in a k-clique large-star emits each
+      // (v, min) once per smaller neighbour (~k duplicates per edge), and
+      // near-dup components are cliquish — the extra shuffle is k× smaller
+      // than the small-star join it feeds
+      edges = ck(smallStar(largeStar(edges).distinct()).distinct())
+      rounds += 1
+      val nsig = checksum(edges)
+      // the min-rooted star state is the unique fixed point of a round, so
+      // an unchanged edge set IS convergence (order-insensitive checksum;
+      // the structural audits below make a checksum collision harmless)
+      converged = nsig == sig
+      sig = nsig
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters star rounds")
+    val roots = edges.select(col("v").as("node")).distinct()
+      .select(col("node"), col("node").as("root"))
+    // checkpointed: the two audits below and the caller's downstream jobs
+    // read blocks instead of re-deriving the union+distinct
+    val labels = ck(edges.select(col("u").as("node"), col("v").as("root"))
+      .unionByName(roots).distinct())
+    // structural audits, both O(V or E) single aggregations: every node has
+    // exactly one root, and both endpoints of every INPUT pair agree — an
+    // implementation bug (or a checksum collision) fails loudly instead of
+    // silently splitting clusters
+    val multi = labels.groupBy("node").agg(count(lit(1)).as("nr"))
+      .where(col("nr") > 1L).count()
+    require(multi == 0, s"connectedComponents: $multi nodes carry multiple roots")
+    val disagree = edges0
+      .join(labels.select(col("node").as("u"), col("root").as("ru")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("root").as("rv")), Seq("v"))
+      .where(col("ru") =!= col("rv")).count()
+    require(disagree == 0,
+      s"connectedComponents: $disagree input pairs straddle two components")
+    (labels, rounds)
   }
 
   /** Per-cluster summary: (cluster_root = min doc id, csize). */

@@ -381,5 +381,8 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("vec_cosine", es => CosineExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("shingle_make", es => ShingleMakeExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHashExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinHashBandsExpr(es(0), es(1), es(2), es(3)), "built-in")
   }
 }

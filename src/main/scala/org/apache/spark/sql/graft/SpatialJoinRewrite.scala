@@ -197,6 +197,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("vec_cosine", es => CosineExpr(es(0), es(1))))
     e.injectFunction(fn("lang_id", es => LangIdExpr(es(0))))
     e.injectFunction(fn("shingle_make", es => ShingleMakeExpr(es(0), es(1))))
+    e.injectFunction(fn("simhash64", es => SimHashExpr(es(0))))
+    e.injectFunction(fn("minhash_bands", es => MinHashBandsExpr(es(0), es(1), es(2), es(3))))
   }
 }
 

@@ -129,6 +129,145 @@ case class ShingleMakeExpr(left: Expression, right: Expression)
   override def prettyName: String = "shingle_make"
 }
 
+/**
+ * 64-bit SimHash kernel — the per-row bit-vote loop as a plain static method
+ * so the operator is a codegen expression, not a typed `Dataset.map` (the
+ * Encoder round-trip forced DeserializeToObject/SerializeFromObject into the
+ * stage, breaking whole-stage codegen and column pruning through it).
+ * Semantics identical to the declarative hex-digit formulation q20's DuckDB
+ * oracle replays: per-word hash = top 64 bits of md5(word), empty tokens
+ * skipped, bit set iff positive vote balance.
+ */
+object SimHashKernel {
+  def eval(text: UTF8String): Long = evalString(text.toString)
+
+  def evalString(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    text.toLowerCase.split(" ").foreach { w =>
+      if (w.nonEmpty) {
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** simhash64(text) — codegen'd static call into [[SimHashKernel]]. */
+case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(t: Any): Any =
+    SimHashKernel.eval(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graft.SimHashKernel.eval($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/**
+ * Generalized banded MinHash kernel: b bands × r rows over seeded 64-bit
+ * hashes, one pass over the shingles. The md5-slice form (Dedup.minhashSig)
+ * is capped at 4 single-permutation bands — too coarse a recall knob for
+ * real corpora (the collision probability curve 1-(1-j^r)^b needs tunable
+ * (b, r)); it stays as the ANSI-SQL/DuckDB-oracle-parity mode while this is
+ * the scale default. Per shingle ONE base hash is mixed with per-permutation
+ * seeds (Broder's seeded-permutation approximation, standard in web-scale
+ * dedup); each band key combines its r per-permutation minima. Docs with no
+ * shingle (fewer than n tokens) return an EMPTY band array — no shingles
+ * means no similarity evidence, and emitting the all-MaxValue key would
+ * land every short doc in one mega-bucket.
+ */
+object MinHashKernel {
+  /** splitmix64/murmur3 finalizer — full-avalanche 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** FNV-1a over UTF-16 code units, then mixed — the per-shingle base hash. */
+  @inline private def baseHash(sb: java.lang.StringBuilder): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val len = sb.length
+    while (i < len) { h = (h ^ sb.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  def bands(text: UTF8String, n: Int, bands: Int, rows: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val perms = bands * rows
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val base = baseHash(sb)
+      var p = 0
+      while (p < perms) {
+        // seed p derived by the same full-avalanche mix — one multiply-xor
+        // chain per (shingle, permutation), no per-perm digest
+        val h = mix64(base ^ mix64(0x9e3779b97f4a7c15L * (p + 1)))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rows) { acc = mix64(acc ^ mins(b * rows + r)); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** minhash_bands(text, n, bands, rows) → array<bigint> of band keys. */
+case class MinHashBandsExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def nullSafeEval(t: Any, n: Any, b: Any, r: Any): Any =
+    MinHashKernel.bands(t.asInstanceOf[UTF8String], n.asInstanceOf[Int],
+      b.asInstanceOf[Int], r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, b, r) =>
+      s"org.apache.spark.sql.graft.MinHashKernel.bands($t, $n, $b, $r)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "minhash_bands"
+}
+
 /** lang_id(text) — codegen'd static call into [[LangIdKernel]]. */
 case class LangIdExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
@@ -149,4 +288,8 @@ object TextFunctionsImpl {
   /** Bounded-memory heavy hitters (Misra-Gries) — see FreqSketchAgg. */
   def freq_topk(item: Column, capacity: Int, k: Int): Column =
     column(FreqSketchAgg(expression(item), capacity, k).toAggregateExpression())
+  def simhash64(text: Column): Column = column(SimHashExpr(expression(text)))
+  def minhash_bands(text: Column, n: Column, bands: Column, rows: Column): Column =
+    column(MinHashBandsExpr(expression(text), expression(n),
+      expression(bands), expression(rows)))
 }

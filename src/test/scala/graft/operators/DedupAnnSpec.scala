@@ -56,6 +56,47 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("banded minhash (16×4): recall follows the 1-(1-j^r)^b S-curve on planted pairs") {
+    // planted pairs with EXACT token-set Jaccard (ngram=1 → shingles are the
+    // tokens): s shared + d/d distinct per side → J = s/(s+2d); tokens are
+    // pair-unique so no cross-pair collisions. Theory at (b=16, r=4):
+    // J=0.5 → 0.64, J=0.7 → 0.988, J=0.9 → ~1. The md5-slice mode cannot
+    // express this knob (4 single-perm bands); this is the production path.
+    val levels = Seq((0.5, 30, 15), (0.7, 42, 9), (0.9, 54, 3))
+    val nPairs = 100
+    val rows = levels.zipWithIndex.flatMap { case ((_, s, d), li) =>
+      (0 until nPairs).flatMap { i =>
+        val tag = s"l${li}p$i"
+        val shared = (0 until s).map(k => s"${tag}s$k")
+        val xs = (0 until d).map(k => s"${tag}x$k")
+        val ys = (0 until d).map(k => s"${tag}y$k")
+        val idA = li * 1000000L + i * 2L
+        Seq((idA, (shared ++ xs).mkString(" ")), (idA + 1, (shared ++ ys).mkString(" ")))
+      }
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.lshPairsBanded(df, bands = 16, rows = 4, ngram = 1, minJaccard = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // only planted pairs can pass the exact-Jaccard verify (cross-pair J = 0)
+    assert(got.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
+    def recall(li: Int): Double =
+      (0 until nPairs).count(i => got.contains((li * 1000000L + i * 2L, li * 1000000L + i * 2L + 1))) / nPairs.toDouble
+    val (r05, r07, r09) = (recall(0), recall(1), recall(2))
+    assert(r05 > 0.45 && r05 < 0.85, s"J=0.5 recall $r05 off the 0.64-theory band")
+    assert(r07 >= 0.92, s"J=0.7 recall $r07 below the 0.988-theory band")
+    assert(r09 >= 0.99, s"J=0.9 recall $r09 should be ~1")
+    assert(r05 < r07 && r07 <= r09, "recall must be monotone in Jaccard")
+  }
+
+  test("simhash columnar expression ≡ scalar kernel") {
+    val sample = docs.limit(50).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val viaExpr = Dedup.simhash(docs.limit(50)).as[(Long, Long)].collect().toMap
+    sample.foreach { case (id, t) =>
+      assert(viaExpr(id) === Dedup.simhash64(t), s"doc $id drifted")
+    }
+  }
+
   test("simhash: identical docs distance 0; near-dups small; random docs large") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again")
     val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again")
@@ -189,10 +230,15 @@ class DedupAnnSpec extends AnyFunSuite {
       (0 until 150).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
         .filter(p => p._1 != p._2) ++
       (1000L until 1040L).sliding(2).map(w => (w(1), w(0))).toSeq
-    val got = Dedup.connectedComponents(pairs.toDF("a", "b"))
-      .as[(Long, Long)].collect().toMap
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
+    val got = labels.as[(Long, Long)].collect().toMap
     val want = Dedup.bruteComponents(pairs)
     assert(got === want)
+    // the point of large-star/small-star: round count scales with log n,
+    // NOT with component diameter — the 40-node path (diameter 39) would
+    // take 39+ label-propagation rounds; 2·log₂(40) ≈ 11 bounds the stars
+    // (+1 for the convergence-detecting no-op round)
+    assert(rounds <= 12, s"star CC took $rounds rounds on a 40-node chain (O(log n) broken)")
     // cluster summary: sizes per root match, chain collapses to one cluster
     val cs = Dedup.dupClusters(pairs.toDF("a", "b"))
       .as[(Long, Long)].collect().toMap

@@ -207,6 +207,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got === want && want.nonEmpty)
   }
 
+  test("simhash (q20) is a codegen projection — no Encoder round-trip") {
+    // the typed Dataset.map formulation forced DeserializeToObject/
+    // SerializeFromObject into the stage, breaking whole-stage codegen and
+    // column pruning; SimHashExpr must plan as a plain projection
+    val q = graft.SparkEntry.queries("q20_simhash")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"simhash must not round-trip through Encoders:\n$plan")
+    // "*(n)" prefixes are the WholeStageCodegen markers in the compact form
+    assert(plan.contains("*(1) Project"), s"simhash should live in a codegen span:\n$plan")
+  }
+
   test("IVF assignment is a codegen projection (no Encoder round-trip, no join)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.where(col("vec_id") % 50 === 0)
