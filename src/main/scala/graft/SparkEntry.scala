@@ -148,14 +148,20 @@ object SparkEntry {
       KnnJoin.broadcastGrid(probes, targets, k = 3, res = 12)
     }),
     "q13_tile_topk" -> ((s, dir) => {
-      // raster↔vector assignment: WMTS tile of each point at zoom 20, top-2 per tile
+      // raster↔vector assignment: WMTS tile of each point at zoom 24, top-2
+      // per tile — the north-star tiling stage. long_topk is a k-bounded
+      // aggregate with map-side combine: only 2-entry buffers cross the
+      // shuffle, candidate-count-independent at 10^12 points, where the
+      // row_number() window (the oracle twin) must shuffle AND sort every
+      // point row per tile. Plan gate: no Window/Sort (PlanQualitySpec).
       val pts = withXY(t(s, dir, "events"), "event_id")
         .withColumn("tile_id", tile_of(col("x"), col("y"), lit(24)))
         .withColumn("tx", expr("shiftright(tile_id, 29) & 536870911"))
         .withColumn("ty", expr("tile_id & 536870911"))
-      val w = Window.partitionBy("tx", "ty").orderBy("event_id")
-      pts.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
-        .select("tx", "ty", "event_id", "rn")
+      pts.groupBy("tx", "ty")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.long_topk(col("event_id"), 2).as("top"))
+        .select(col("tx"), col("ty"), explode(col("top")).as("m"))
+        .select(col("tx"), col("ty"), col("m.v").as("event_id"), col("m.rn").as("rn"))
     }),
     "q14_range_join" -> ((s, dir) => {
       // P6/J4 AABB intersection join — touching boxes INCLUDED (Neo4jDB.java:378-380)

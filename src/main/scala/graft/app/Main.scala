@@ -111,24 +111,26 @@ object Main {
 
   def runExport(spark: SparkSession, cfg: RunConfig): Unit = {
     import spark.implicits._
-    val fps = IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint]
-      .collect().toSeq
-    val surfaces: Seq[SurfacePoly] =
-      if (Files.exists(Paths.get(s"${cfg.outputDir}/surfaces/_icelite/VERSION")))
-        IceLite.read(spark, s"${cfg.outputDir}/surfaces").as[SurfacePoly].collect().toSeq
-      else Seq.empty
-    val surfByPart = surfaces.groupBy(_.partition_id)
+    val fpDs = IceLite.read(spark, s"${cfg.outputDir}/footprints").as[Footprint]
+    val haveSurfaces =
+      Files.exists(Paths.get(s"${cfg.outputDir}/surfaces/_icelite/VERSION"))
+    val surfDs: org.apache.spark.sql.Dataset[SurfacePoly] =
+      if (haveSurfaces) IceLite.read(spark, s"${cfg.outputDir}/surfaces").as[SurfacePoly]
+      else spark.emptyDataset[SurfacePoly]
+    // CityGML: distributed — one file per partition_id written by the task
+    // holding that partition's rows (never the whole model on the driver)
+    Exporters.exportCityGmlDistributed(fpDs, surfDs, cfg.outputDir, cfg.bbox,
+      filePrefix = "export_p")
+    // CityJSON: driver-side per partition (reference-parity path; the JSON
+    // sink shares the same Seq-based writers)
+    val fps = fpDs.collect().toSeq
+    val surfByPart = surfDs.collect().toSeq.groupBy(_.partition_id)
     fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>
       surfByPart.get(pid) match {
-        // full-surface fidelity when the mapped model kept its 3D surfaces
         case Some(ss) =>
-          Exporters.exportCityGmlFull(pfps, ss,
-            s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
           Exporters.exportCityJsonFull(Exporters.bboxFilter(pfps, cfg.bbox), ss,
             s"${cfg.outputDir}/export_p$pid.json")
         case None =>
-          Exporters.exportCityGml(pfps,
-            s"${cfg.outputDir}/export_p$pid.gml", cfg.bbox)
           Exporters.exportCityJson(Exporters.bboxFilter(pfps, cfg.bbox),
             s"${cfg.outputDir}/export_p$pid.json")
       }

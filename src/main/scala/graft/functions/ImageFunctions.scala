@@ -152,20 +152,66 @@ object ImageFunctions {
   }
 
   // ---------------------------------------------------------------------
-  // STUB: audio/video feature extraction. No decode libraries exist in this
-  // container; the fake is a pure deterministic function of the bytes so the
-  // distributed plumbing (schema, batching, partitioning) is real and tested.
-  // Swap `fakeWaveformFeatures` for a real decoder at deployment.
+  // Audio/video decode SEAM. No codec libraries exist in this container, so
+  // the default decoder is an honestly-flagged deterministic fake — but the
+  // production boundary is now an explicit trait: deployments implement
+  // FrameDecoder over their codec stack (JavaCV/ffmpeg/…) and every job
+  // shape below (schema, 1→N fan-out, mapPartitions batching, partitioning)
+  // is unchanged. Rows carry `stubbed` so fabricated content can never be
+  // mistaken for decoded content downstream.
   // ---------------------------------------------------------------------
+
+  /** Container-level probe result: what one pass over the media bytes must
+    * yield before frames can be sampled. */
+  final case class AvProbe(durationS: Double, loudness: Double, fingerprint: Long)
+
+  /**
+   * The production decode seam. Implementations MUST be serializable (they
+   * ship to executors inside mapPartitions closures) and stateless or
+   * cheaply re-initializable per partition.
+   */
+  trait FrameDecoder extends Serializable {
+    /** One pass over the container bytes: duration, loudness, fingerprint. */
+    def probe(id: String, bytes: Array[Byte]): AvProbe
+    /** Decoded frame payload for frame `idx` at timestamp `tsS`. */
+    def frameAt(p: AvProbe, bytes: Array[Byte], idx: Int, tsS: Double): Array[Byte]
+    /** True when this decoder fabricates content (sandbox default). */
+    def stubbed: Boolean
+  }
+
+  /** STUB decoder — a pure deterministic function of the bytes, so the
+    * distributed plumbing stays real and testable without codec libs. */
+  object StubFrameDecoder extends FrameDecoder {
+    override def stubbed: Boolean = true
+    override def probe(id: String, bytes: Array[Byte]): AvProbe = {
+      val fp = Hashing.fnv1a(bytes)
+      AvProbe(
+        durationS = (math.abs(fp) % 30000).toDouble / 1000.0,
+        loudness = -60.0 + (Hashing.mix64(fp) >>> 11).toDouble / (1L << 53).toDouble * 60.0,
+        fingerprint = fp)
+    }
+    override def frameAt(p: AvProbe, bytes: Array[Byte], idx: Int, tsS: Double): Array[Byte] = {
+      val h = Hashing.mix64(p.fingerprint ^ (idx.toLong * 0x9E3779B97F4A7C15L))
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i < 16) { out(i) = ((h >>> ((i % 8) * 8)) & 0xFF).toByte; i += 1 }
+      out
+    }
+  }
+
   final case class AvFeature(media_id: String, duration_s: Double, loudness: Double,
                              fingerprint: Long, stubbed: Boolean)
 
   def extractAvFeatures(media: DataFrame, idCol: String = "image_id",
-                        bytesCol: String = "bytes"): Dataset[AvFeature] = {
+                        bytesCol: String = "bytes",
+                        decoder: FrameDecoder = StubFrameDecoder): Dataset[AvFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) => fakeWaveformFeatures(id, bytes) }
+      it.map { case (id, bytes) =>
+        val p = decoder.probe(id, bytes)
+        AvFeature(id, p.durationS, p.loudness, p.fingerprint, decoder.stubbed)
+      }
     }
   }
 
@@ -173,51 +219,34 @@ object ImageFunctions {
                                 frame: Array[Byte], stubbed: Boolean)
 
   /**
-   * STUB-decode frame sampling: video bytes → one row per sampled frame at
-   * `fps` frames/second — the 1→N generator shape a multimodal training
-   * pipeline needs (sample frames, then run the image ops on each). The
-   * decode is the deterministic fake above (duration from the byte
-   * fingerprint; frame payload = 16 content-derived bytes), but the
+   * Frame sampling behind the [[FrameDecoder]] seam: video bytes → one row
+   * per sampled frame at `fps` frames/second — the 1→N generator shape a
+   * multimodal training pipeline needs (sample frames, then run the image
+   * ops on each). With the sandbox default [[StubFrameDecoder]] the decode
+   * is the deterministic fake (duration from the byte fingerprint; frame
+   * payload = 16 content-derived bytes, rows flagged `stubbed`); the
    * distributed plumbing is the real thing and is what the test pins:
    * flatMap inside mapPartitions (no driver materialization, no
    * row-per-frame shuffle — sampling happens where the bytes already are),
    * scan pruned to (id, bytes), output fans out 1→N with deterministic
-   * frame content. Swap `fakeWaveformFeatures`/`fakeFrame` for a real
-   * decoder at deployment; the job shape does not change.
+   * frame content. A production decoder changes NOTHING about the job
+   * shape — only the `decoder` argument.
    */
   def sampleFrames(media: DataFrame, fps: Double = 1.0,
                    idCol: String = "image_id", bytesCol: String = "bytes",
-                   maxFrames: Int = 64): Dataset[SampledFrame] = {
+                   maxFrames: Int = 64,
+                   decoder: FrameDecoder = StubFrameDecoder): Dataset[SampledFrame] = {
     require(fps > 0 && maxFrames > 0, "fps and maxFrames must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])].mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        val meta = fakeWaveformFeatures(id, bytes)
-        val n = math.min(maxFrames, math.max(1, math.floor(meta.duration_s * fps).toInt))
+        val p = decoder.probe(id, bytes)
+        val n = math.min(maxFrames, math.max(1, math.floor(p.durationS * fps).toInt))
         (0 until n).iterator.map { i =>
-          SampledFrame(id, i, i / fps, fakeFrame(meta.fingerprint, i), stubbed = true)
+          SampledFrame(id, i, i / fps, decoder.frameAt(p, bytes, i, i / fps), decoder.stubbed)
         }
       }
     }
-  }
-
-  /** STUB — deterministic 16-byte stand-in for a decoded frame. */
-  private def fakeFrame(fingerprint: Long, idx: Int): Array[Byte] = {
-    val h = Hashing.mix64(fingerprint ^ (idx.toLong * 0x9E3779B97F4A7C15L))
-    val out = new Array[Byte](16)
-    var i = 0
-    while (i < 16) { out(i) = ((h >>> ((i % 8) * 8)) & 0xFF).toByte; i += 1 }
-    out
-  }
-
-  /** STUB — deterministic fake standing in for an audio/video decoder. */
-  private def fakeWaveformFeatures(id: String, bytes: Array[Byte]): AvFeature = {
-    val fp = Hashing.fnv1a(bytes)
-    AvFeature(id,
-      duration_s = (math.abs(fp) % 30000).toDouble / 1000.0,
-      loudness = -60.0 + (Hashing.mix64(fp) >>> 11).toDouble / (1L << 53).toDouble * 60.0,
-      fingerprint = fp,
-      stubbed = true)
   }
 }

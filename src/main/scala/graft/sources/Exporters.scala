@@ -162,6 +162,46 @@ object Exporters {
   }
 
   /**
+   * DISTRIBUTED CityGML 2.0 export: one file per `partition_id`, written by
+   * the Spark task that holds the partition's rows — the scale-safe form of
+   * the driver-side exporters above. The driver path is exact reference
+   * parity (the reference builds the whole CityModel in driver memory,
+   * `CityGMLV2DB.java:283-337`, with an 8–16 GB JVM sized for it,
+   * `build.gradle:96-97`) and stays for single-file use; at 100× the
+   * feature count the export must stream from executors. Mechanics:
+   * cogroup footprints and surfaces on `partition_id` (ONE shuffle keyed by
+   * the table's own commit unit — the same unit W3's merge semantics
+   * invert), each group materializes only ITS partition in task memory and
+   * writes `part_<pid>.gml` with the identical StAX writer, so every file
+   * is byte-deterministic (features sorted by id) and individually
+   * re-ingestable; the union of re-ingests equals the input (ExportSpec).
+   * `outDir` must be shared storage on a real cluster (the usual contract
+   * for file-format sinks).
+   */
+  def exportCityGmlDistributed(
+      buildings: org.apache.spark.sql.Dataset[Footprint],
+      surfaces: org.apache.spark.sql.Dataset[SurfacePoly],
+      outDir: String, bbox: Option[Env6] = None,
+      srs: String = "urn:adv:crs:ETRS89_UTM32*DE_DHHN92_NH",
+      filePrefix: String = "part_"): Seq[(Int, String)] = {
+    val spark = buildings.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    buildings.groupByKey(_.partition_id)
+      .cogroup(surfaces.groupByKey(_.partition_id)) { (pid, bs, ss) =>
+        // deterministic file bytes: features ordered by id, surfaces by
+        // (feature, surface, poly) — cogroup iterator order is not stable
+        val bSorted = bs.toSeq.sortBy(_.feature_id)
+        val sSorted = ss.toSeq.sortBy(p => (p.feature_id, p.surface_id, p.poly_id))
+        val path = s"$outDir/$filePrefix$pid.gml"
+        if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, path, bbox, srs)
+        else exportCityGml(bSorted, path, bbox, srs)
+        Iterator.single(pid -> path)
+      }
+      .collect().toSeq.sortBy(_._1) // O(#partitions) tiny manifest, not rows
+  }
+
+  /**
    * Full-surface CityGML **3.0** export — the v3 restatement of
    * [[exportCityGmlFull]] with the v3 document restructurings the reference
    * handles through the citygml4j v3 API (`CityGMLV3DB.java:56-126`):

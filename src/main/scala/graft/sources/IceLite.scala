@@ -366,9 +366,41 @@ object IceLite {
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
     require(version >= 1, s"version must be >= 1, got $version")
     compactRecover(table) // heal a crashed compaction swap before serving
+    require(Files.exists(metaDir(table).resolve(s"v$version.json")),
+      s"IceLite: snapshot v$version of '$table' does not exist or was expired " +
+        s"(current version: ${currentSnapshot(table).version}; see expireVersions)")
     val snap = readSnapshot(table, version)
     val dirs = snap.partitions.map(p => s"$table/data/${escapePart(p.partition)}")
     spark.read.parquet(dirs: _*)
+  }
+
+  /**
+   * Snapshot expiration — the retention companion to time travel: retained
+   * manifests otherwise grow one vN.json per commit forever. Keeps the
+   * newest `keepN` manifests (the current version always survives) and
+   * deletes older ones, plus crash leftovers no manifest references (stage
+   * dirs; parked dirs are healed by [[compactRecover]] first). Commits are
+   * append-only at partition granularity and compaction must prove
+   * identical lineage before swapping, so every data dir referenced by an
+   * expired manifest is still referenced by every retained one —
+   * expiration is pure metadata deletion, never touches `data/`, and the
+   * oldest RETAINED version stays byte-identical readable. Reading an
+   * expired version fails loudly in [[readVersion]]. Returns the expired
+   * version numbers.
+   */
+  def expireVersions(table: String, keepN: Int): Seq[Int] = {
+    require(keepN >= 1, s"IceLite.expireVersions: keepN must be >= 1, got $keepN")
+    compactRecover(table)
+    val cur = currentSnapshot(table).version
+    if (cur == 0) return Seq.empty
+    val horizon = math.max(1, cur - keepN + 1) // oldest retained version
+    val expired = (1 until horizon)
+      .filter(v => Files.exists(metaDir(table).resolve(s"v$v.json")))
+    expired.foreach(v => Files.deleteIfExists(metaDir(table).resolve(s"v$v.json")))
+    // crashed-run stage dirs are referenced by no manifest — GC them here
+    deleteRecursive(Paths.get(s"$table/_icelite_stage"))
+    deleteRecursive(Paths.get(s"$table/_icelite_compact_stage"))
+    expired
   }
 
   /**

@@ -360,6 +360,9 @@ object GeoFunctionsImpl {
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
   def knn_topk(d2: Column, id: Column, k: Int): Column =
     column(KnnTopKAgg(expression(d2), expression(id), k).toAggregateExpression())
+  /** Bounded ascending top-k of a long column — map-side combine (TopKAgg). */
+  def long_topk(v: Column, k: Int): Column =
+    column(LongTopKAgg(expression(v), k).toAggregateExpression())
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -372,7 +375,9 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("long_topk", LongTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("freq_topk", FreqSketchAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("kll_quantiles", QuantileSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("tile_cover", es => TileCoverExpr(es(0), es(1)), "built-in")

@@ -189,7 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("hex_cover", es => HexCoverExpr(es(0), es(1))))
     e.injectFunction(fn("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3))))
     e.injectFunction(fn("knn_topk", KnnTopKAgg.fromSql))
+    e.injectFunction(fn("long_topk", LongTopKAgg.fromSql))
     e.injectFunction(fn("freq_topk", FreqSketchAgg.fromSql))
+    e.injectFunction(fn("kll_quantiles", QuantileSketchAgg.fromSql))
     e.injectFunction(fn("z_cell_x", es => ZCellXExpr(es(0))))
     e.injectFunction(fn("z_cell_y", es => ZCellYExpr(es(0))))
     e.injectFunction(fn("tile_cover", es => TileCoverExpr(es(0), es(1))))

@@ -289,6 +289,9 @@ object TextFunctionsImpl {
   def freq_topk(item: Column, capacity: Int, k: Int): Column =
     column(FreqSketchAgg(expression(item), capacity, k).toAggregateExpression())
   def simhash64(text: Column): Column = column(SimHashExpr(expression(text)))
+  /** Mergeable bounded-memory quantiles (KLL-style) — see QuantileSketchAgg. */
+  def kll_quantiles(x: Column, k: Int, probs: Seq[Double]): Column =
+    column(QuantileSketchAgg(expression(x), k, probs).toAggregateExpression())
   def minhash_bands(text: Column, n: Column, bands: Column, rows: Column): Column =
     column(MinHashBandsExpr(expression(text), expression(n),
       expression(bands), expression(rows)))

@@ -146,3 +146,105 @@ object KnnTopKAgg {
     KnnTopKAgg(es(0), es(1), k).toAggregateExpression()
   }
 }
+
+/** Mutable k-bounded ascending set of longs — same shape as [[TopKBuffer]]
+  * with the ordering key as the payload. */
+final class LongTopKBuffer(val k: Int) {
+  var n: Int = 0
+  val vs: Array[Long] = new Array[Long](k)
+
+  def insert(v: Long): Unit = {
+    if (n == k && v >= vs(k - 1)) return
+    var i = if (n < k) n else k - 1
+    while (i > 0 && v < vs(i - 1)) { vs(i) = vs(i - 1); i -= 1 }
+    vs(i) = v
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: LongTopKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.vs(i)); i += 1 }
+  }
+}
+
+/**
+ * long_topk(v, k) → array<struct<v: bigint, rn: int>> — the k SMALLEST
+ * values in ascending order with 1-based rank: exactly the rows
+ * `row_number() OVER (PARTITION BY … ORDER BY v) <= k` keeps, but with a
+ * k-bounded buffer and map-side combine instead of a full shuffle+sort of
+ * every candidate row ("top-k per tile" must be candidate-count-independent
+ * at 10^12 rows; the window form is the oracle twin).
+ */
+@ExpressionDescription(usage = "long_topk(v, k) - bounded ascending top-k with map-side combine")
+case class LongTopKAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[LongTopKBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(k >= 1, s"long_topk: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("v", LongType).add("rn", IntegerType), containsNull = false)
+
+  override def createAggregationBuffer(): LongTopKBuffer = new LongTopKBuffer(k)
+
+  override def update(b: LongTopKBuffer, input: InternalRow): LongTopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.insert(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: LongTopKBuffer, o: LongTopKBuffer): LongTopKBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: LongTopKBuffer): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) { rows(i) = InternalRow(b.vs(i), i + 1); i += 1 }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: LongTopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.n)
+    var i = 0
+    while (i < b.n) { out.writeLong(b.vs(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): LongTopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new LongTopKBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.insert(in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): LongTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LongTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LongTopKAgg =
+    copy(child = c(0))
+  override def prettyName: String = "long_topk"
+}
+
+object LongTopKAgg {
+  /** SQL builder: long_topk(v, k) with k a foldable int literal. */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 2, "long_topk(v, k) takes 2 arguments")
+    val k = es(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"long_topk: k must be an integer literal, got $other")
+    }
+    LongTopKAgg(es(0), k).toAggregateExpression()
+  }
+}

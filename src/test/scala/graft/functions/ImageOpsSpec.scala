@@ -88,4 +88,23 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(a.groupBy(_.media_id).values.forall { fs =>
       fs.map(_.frame.toSeq).distinct.length == fs.length })
   }
+
+  test("FrameDecoder seam: a custom decoder drops in without changing the job shape") {
+    // a 3-second fixed-duration "decoder" that derives frames from the raw
+    // payload head — stands in for a real codec-backed implementation and
+    // proves the production boundary is the `decoder` argument only
+    object FixedDecoder extends ImageFunctions.FrameDecoder {
+      override def stubbed: Boolean = false
+      override def probe(id: String, bytes: Array[Byte]): ImageFunctions.AvProbe =
+        ImageFunctions.AvProbe(3.0, -20.0, bytes.length.toLong)
+      override def frameAt(p: ImageFunctions.AvProbe, bytes: Array[Byte],
+                           idx: Int, tsS: Double): Array[Byte] =
+        bytes.slice(idx, idx + 4)
+    }
+    val fs = ImageFunctions.sampleFrames(imgs, fps = 1.0, decoder = FixedDecoder).collect()
+    assert(fs.forall(!_.stubbed))
+    assert(fs.groupBy(_.media_id).values.forall(_.length == 3)) // floor(3.0 * 1.0)
+    val feats = ImageFunctions.extractAvFeatures(imgs, decoder = FixedDecoder).collect()
+    assert(feats.forall(f => f.duration_s == 3.0 && !f.stubbed))
+  }
 }

@@ -207,6 +207,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got === want && want.nonEmpty)
   }
 
+  test("tile top-k (q13) is a bounded aggregate — no Window, no per-tile Sort") {
+    // "top-k images per tile" is the north-star tiling stage; the bounded
+    // long_topk aggregate ships 2-entry buffers (map-side combine), where
+    // the row_number() window form (kept as the DuckDB oracle twin) must
+    // shuffle + sort every point row
+    val q = graft.SparkEntry.queries("q13_tile_topk")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q13 must not plan a Window:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+      s"q13 must not sort point rows:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_long_topk"),
+      s"q13 should partial-aggregate long_topk buffers map-side:\n$plan")
+  }
+
   test("simhash (q20) is a codegen projection — no Encoder round-trip") {
     // the typed Dataset.map formulation forced DeserializeToObject/
     // SerializeFromObject into the stage, breaking whole-stage codegen and

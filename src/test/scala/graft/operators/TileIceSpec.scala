@@ -166,6 +166,42 @@ class TileIceSpec extends AnyFunSuite {
       === df.where(col("event_type").isin("click", "error")).count())
   }
 
+  test("IceLite: expireVersions drops old manifests, never data; retained versions intact") {
+    val dir = java.nio.file.Files.createTempDirectory("icelite_exp").toString
+    val table = s"$dir/events_by_type"
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // build a multi-version history: 2 partitions, then the rest (one
+    // snapshot version per committed partition), then a compaction version
+    IceLite.writeResumable(df.where(col("event_type").isin("click", "error")), table, "event_type")
+    IceLite.writeResumable(df, table, "event_type")
+    IceLite.compact(spark, table, "event_type")
+    val head = IceLite.currentSnapshot(table).version
+    assert(head >= 4)
+    val keepN = 2
+    val beforeRows = IceLite.readVersion(spark, table, head - 1).count() // oldest retained
+    val beforeHash = IceLite.readVersion(spark, table, head - 1)
+      .agg(sum(xxhash64(col("event_id")).cast("decimal(38,0)"))).head().get(0).toString
+
+    val expired = IceLite.expireVersions(table, keepN)
+    assert(expired === (1 to head - keepN))
+    // expired version: loud, actionable failure
+    val e = intercept[IllegalArgumentException](IceLite.readVersion(spark, table, 1))
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("does not exist"))
+    // oldest retained version: byte-identical content (rows + content hash)
+    assert(IceLite.readVersion(spark, table, head - 1).count() === beforeRows)
+    assert(IceLite.readVersion(spark, table, head - 1)
+      .agg(sum(xxhash64(col("event_id")).cast("decimal(38,0)"))).head().get(0).toString === beforeHash)
+    // head + plain read + lineage audit all unaffected
+    assert(IceLite.readVersion(spark, table, head).count() === df.count())
+    assert(IceLite.read(spark, table).count() === df.count())
+    assert(IceLite.verifyLineage(spark, table, "event_type").forall(_._2))
+    // compaction interop after expiration: still safe, still provable
+    val (c2, _) = IceLite.compact(spark, table, "event_type")
+    assert(c2.isEmpty) // already compacted — no version churn
+    // idempotent; expiring again with the same horizon is a no-op
+    assert(IceLite.expireVersions(table, keepN).isEmpty)
+  }
+
   test("IceLite: path-hostile partition values are escaped, round-trip, and audit") {
     val dir = java.nio.file.Files.createTempDirectory("icelite_esc").toString
     val table = s"$dir/hostile"

@@ -62,6 +62,47 @@ class ExportSpec extends AnyFunSuite {
     assert(closedSet(bFp.ring) === closedSet(oFp.ring))
   }
 
+  test("distributed CityGML export: one file per partition, written in tasks, round-trips") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val doc = CityGmlReader.parseFile("/root/reference/input/citygml/fzk_haus_lod2_v2.gml")
+    val surfaces = CityGmlReader.toSurfaces(doc, 0)
+    // two partitions: the FZK building as partition 0 AND (ids suffixed)
+    // as partition 7 — forces two cogroups, two task-side files
+    def retag(fp: Footprint, pid: Int, sfx: String) =
+      fp.copy(feature_id = fp.feature_id + sfx, partition_id = pid)
+    def retagS(s: SurfacePoly, pid: Int, sfx: String) =
+      s.copy(feature_id = s.feature_id + sfx, surface_id = s.surface_id + sfx,
+        poly_id = if (s.poly_id.nonEmpty) s.poly_id + sfx else s.poly_id, partition_id = pid)
+    val fps = fzk.map(retag(_, 0, "")) ++ fzk.map(retag(_, 7, "_b"))
+    val surfs = surfaces.map(retagS(_, 0, "")) ++ surfaces.map(retagS(_, 7, "_b"))
+    val outDir = java.nio.file.Files.createTempDirectory("gmldist").toString
+    val manifest = Exporters.exportCityGmlDistributed(
+      fps.toDS().repartition(5), surfs.toDS().repartition(3), outDir)
+    assert(manifest.map(_._1) === Seq(0, 7))
+    manifest.foreach { case (_, p) => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p))) }
+    // union of per-partition re-ingests == the input feature set, full
+    // surface fidelity per partition
+    val back = manifest.flatMap { case (pid, p) =>
+      CityGmlReader.toFootprints(CityGmlReader.parseFile(p), pid) }
+      .filter(_.feature_type == "Building")
+    assert(back.map(_.feature_id).toSet ===
+      fps.filter(_.feature_type == "Building").map(_.feature_id).toSet)
+    val backS = manifest.flatMap { case (pid, p) =>
+      CityGmlReader.toSurfaces(CityGmlReader.parseFile(p), pid) }
+    def key(s: SurfacePoly) = (s.feature_id, s.surface_id, s.surface_type, s.poly_id,
+      s.exterior, s.interiors)
+    assert(backS.map(key).toSet === surfs.map(key).toSet)
+    // byte-determinism: a second export under any partitioning is identical
+    val outDir2 = java.nio.file.Files.createTempDirectory("gmldist2").toString
+    Exporters.exportCityGmlDistributed(fps.toDS().repartition(2), surfs.toDS(), outDir2)
+    Seq(0, 7).foreach { pid =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$outDir/part_$pid.gml"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$outDir2/part_$pid.gml"))
+      assert(java.util.Arrays.equals(a, b), s"partition $pid file bytes not deterministic")
+    }
+  }
+
   test("CityJSON round trip: quantization-exact for 3-decimal source coords") {
     val out = java.nio.file.Files.createTempDirectory("cj").resolve("b.json").toString
     Exporters.exportCityJson(cj, out, srs = "EPSG:3068")
