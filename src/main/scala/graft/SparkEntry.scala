@@ -462,6 +462,46 @@ object SparkEntry {
         .withColumn("is_unit", abs(col("norm2") - lit(1.0)) < lit(1e-5))
     }),
 
+    "q51_cube" -> ((s, dir) => {
+      // full subtotal lattice (beyond q31's rollup): cube + grouping_id so
+      // consumers can tell a real NULL group from an aggregated-away level —
+      // the standard OLAP disambiguator (bit per column, first col = MSB,
+      // identical in Spark and ANSI GROUPING())
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "q52_rank_dist" -> ((s, dir) => {
+      // rank-family windows (ntile / percent_rank / cume_dist) over a UNIQUE
+      // ordering key — uniqueness makes every rank deterministic, and the
+      // doubles are small-integer divisions both engines compute identically
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events").where(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+    "q53_semi_exists" -> ((s, dir) => {
+      // EXISTS-style semi join: customers with >=1 1995 order. left_semi
+      // keeps the probe side unduplicated without a distinct — the shape
+      // Catalyst rewrites correlated EXISTS subqueries into
+      val o95 = t(s, dir, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      t(s, dir, "customer")
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "q54_unpivot" -> ((s, dir) => {
+      // wide → long unpivot via the stack generator (the inverse of q48's
+      // pivot): one generator in the projection, no join, no shuffle
+      t(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"),
+          expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, " +
+            "'tax', l_tax) AS (metric, val)"))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -634,7 +674,14 @@ object SparkEntry {
       // fixture — result is exactly one pair per source image)
       graft.operators.Dedup.imageNearDup(ImageGen.blockTable(s, 800), maxHamming = 10)
         .orderBy("doc_a", "doc_b")
-    })
+    }),
+    "g6_banded_lsh" -> ((s, dir) =>
+      // production-mode banded MinHash (16 bands × 4 rows, seeded 64-bit
+      // hashes — the tunable recall knob the md5-slice q19 mode lacks). The
+      // custom mix hashes are not ANSI-SQL-expressible, so this is gated by
+      // the S-curve recall test (DedupAnnSpec) + the determinism probe; q19
+      // hash-gates the identical shuffle shape in oracle mode.
+      graft.operators.Dedup.lshPairsBanded(t(s, dir, "documents")))
   )
 
   /** DuckDB cosine mirroring VecKernels.cosine exactly: ascending-index
@@ -1149,6 +1196,31 @@ object SparkEntry {
                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2,
                 abs(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) - 1.0) < 0.00001 AS is_unit
          FROM embeddings""",
+    "q51_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q52_rank_dist" ->
+      """SELECT user_id, event_id,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM events WHERE user_id %% 5 = 0
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""",
+    "q53_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '1995-01-01'
+                         AND o_orderdate < TIMESTAMP '1996-01-01')""",
+    "q54_unpivot" ->
+      """SELECT l_orderkey, 'quantity' AS metric, l_quantity AS val
+         FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, 'discount', l_discount FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, 'tax', l_tax FROM lineitem WHERE l_orderkey < 1000""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
