@@ -117,12 +117,23 @@ object Main {
     val surfDs: org.apache.spark.sql.Dataset[SurfacePoly] =
       if (haveSurfaces) IceLite.read(spark, s"${cfg.outputDir}/surfaces").as[SurfacePoly]
       else spark.emptyDataset[SurfacePoly]
-    // CityGML: distributed — one file per partition_id written by the task
-    // holding that partition's rows (never the whole model on the driver)
-    Exporters.exportCityGmlDistributed(fpDs, surfDs, cfg.outputDir, cfg.bbox,
-      filePrefix = "export_p")
-    // CityJSON: driver-side per partition (reference-parity path; the JSON
-    // sink shares the same Seq-based writers)
+    // cache across the two consumers below — without it the GML export job
+    // and the CityJSON collect() each re-scan both IceLite tables in full
+    fpDs.persist(); surfDs.persist()
+    try {
+      // CityGML: distributed — one file per partition_id written by the task
+      // holding that partition's rows (never the whole model on the driver)
+      Exporters.exportCityGmlDistributed(fpDs, surfDs, cfg.outputDir, cfg.bbox,
+        filePrefix = "export_p")
+      runExportJson(cfg, fpDs, surfDs)
+    } finally { fpDs.unpersist(blocking = false); surfDs.unpersist(blocking = false) }
+  }
+
+  /** CityJSON: driver-side per partition (reference-parity path; the JSON
+    * sink shares the same Seq-based writers). */
+  private def runExportJson(cfg: RunConfig,
+                            fpDs: org.apache.spark.sql.Dataset[Footprint],
+                            surfDs: org.apache.spark.sql.Dataset[SurfacePoly]): Unit = {
     val fps = fpDs.collect().toSeq
     val surfByPart = surfDs.collect().toSeq.groupBy(_.partition_id)
     fps.groupBy(_.partition_id).foreach { case (pid, pfps) =>

@@ -302,13 +302,14 @@ object Dedup {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // canonical orientation u > v, self-loops dropped; kept (checkpointed —
-    // a block-manager re-read, never an upstream recompute) for the final
-    // agreement audit
+    // canonical orientation u > v; checkpointed (a block-manager re-read,
+    // never an upstream recompute) — self-loop rows (u == v) are RETAINED
+    // here so isolated self-paired nodes can be labelled below, and only
+    // filtered out of the star iteration
     val edges0 = ck(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .where(col("u") =!= col("v")).distinct())
-    var edges = edges0
+      .distinct())
+    var edges = edges0.where(col("u") =!= col("v"))
     var sig = checksum(edges)
     var rounds = 0
     var converged = false
@@ -330,10 +331,18 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters star rounds")
     val roots = edges.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("root"))
+    // nodes appearing ONLY in self-loop pairs (a == b) have no star edge but
+    // must still be labelled (root = self) — dropping them would silently
+    // lose rows for callers joining labels back to their input's node set
+    val starLabels = edges.select(col("u").as("node"), col("v").as("root"))
+      .unionByName(roots)
+    val selfOnly = edges0.where(col("u") === col("v"))
+      .select(col("u").as("node")).distinct()
+      .join(starLabels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("root"))
     // checkpointed: the two audits below and the caller's downstream jobs
     // read blocks instead of re-deriving the union+distinct
-    val labels = ck(edges.select(col("u").as("node"), col("v").as("root"))
-      .unionByName(roots).distinct())
+    val labels = ck(starLabels.unionByName(selfOnly).distinct())
     // structural audits, both O(V or E) single aggregations: every node has
     // exactly one root, and both endpoints of every INPUT pair agree — an
     // implementation bug (or a checksum collision) fails loudly instead of

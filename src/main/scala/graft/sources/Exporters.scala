@@ -194,8 +194,20 @@ object Exporters {
         val bSorted = bs.toSeq.sortBy(_.feature_id)
         val sSorted = ss.toSeq.sortBy(p => (p.feature_id, p.surface_id, p.poly_id))
         val path = s"$outDir/$filePrefix$pid.gml"
-        if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, path, bbox, srs)
-        else exportCityGml(bSorted, path, bbox, srs)
+        // task-commit protocol: write to an attempt-private temp file, then
+        // atomic-rename into place. Without this, a speculative/retried task
+        // attempt would interleave buffered writes with a zombie first
+        // attempt on the SAME shared-storage path — a torn file under a
+        // succeeding job. With it, concurrent attempts each produce a
+        // complete file and the last rename wins (both are byte-identical).
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
+        val tmp = s"$path.inprogress_$attempt"
+        if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, tmp, bbox, srs)
+        else exportCityGml(bSorted, tmp, bbox, srs)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator.single(pid -> path)
       }
       .collect().toSeq.sortBy(_._1) // O(#partitions) tiny manifest, not rows

@@ -378,12 +378,13 @@ object IceLite {
    * Snapshot expiration — the retention companion to time travel: retained
    * manifests otherwise grow one vN.json per commit forever. Keeps the
    * newest `keepN` manifests (the current version always survives) and
-   * deletes older ones, plus crash leftovers no manifest references (stage
-   * dirs; parked dirs are healed by [[compactRecover]] first). Commits are
-   * append-only at partition granularity and compaction must prove
-   * identical lineage before swapping, so every data dir referenced by an
-   * expired manifest is still referenced by every retained one —
-   * expiration is pure metadata deletion, never touches `data/`, and the
+   * deletes older ones (parked dirs are healed by [[compactRecover]]
+   * first). Commits are append-only at partition granularity and compaction
+   * must prove identical lineage before swapping, so every data dir
+   * referenced by an expired manifest is still referenced by every retained
+   * one — expiration is pure metadata deletion, never touches `data/` or
+   * any stage dir (a stage dir may be another writer's LIVE working set;
+   * writeResumable/compact each clear their OWN stage at entry), and the
    * oldest RETAINED version stays byte-identical readable. Reading an
    * expired version fails loudly in [[readVersion]]. Returns the expired
    * version numbers.
@@ -397,9 +398,6 @@ object IceLite {
     val expired = (1 until horizon)
       .filter(v => Files.exists(metaDir(table).resolve(s"v$v.json")))
     expired.foreach(v => Files.deleteIfExists(metaDir(table).resolve(s"v$v.json")))
-    // crashed-run stage dirs are referenced by no manifest — GC them here
-    deleteRecursive(Paths.get(s"$table/_icelite_stage"))
-    deleteRecursive(Paths.get(s"$table/_icelite_compact_stage"))
     expired
   }
 

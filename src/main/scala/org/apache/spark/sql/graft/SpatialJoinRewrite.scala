@@ -132,9 +132,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               i += 1
             }
             math.max(maxx - minx, maxy - miny)
-            // empty rings yield MinValue - MaxValue (finite but hugely
-            // negative) — require non-negative, not just finite, or the
-            // stats-driven res coarsens off a garbage span
+            // empty rings overflow to -Infinity (MinValue - MaxValue) and
+            // NaN coordinates yield NaN spans; isFinite rejects both where
+            // the old !isInfinite let NaN through to poison spans.max, and
+            // s >= 0 documents the only meaningful domain
           }.filter(s => s.isFinite && s >= 0).toSeq
           if (spans.isEmpty) None else Some(spans.max)
         }

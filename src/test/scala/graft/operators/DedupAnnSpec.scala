@@ -89,9 +89,12 @@ class DedupAnnSpec extends AnyFunSuite {
   }
 
   test("simhash columnar expression ≡ scalar kernel") {
+    // collect ONE limited sample and derive both sides from it — an
+    // unordered limit() run twice may pick different row subsets
     val sample = docs.limit(50).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
-    val viaExpr = Dedup.simhash(docs.limit(50)).as[(Long, Long)].collect().toMap
+    val viaExpr = Dedup.simhash(sample.toSeq.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
     sample.foreach { case (id, t) =>
       assert(viaExpr(id) === Dedup.simhash64(t), s"doc $id drifted")
     }
@@ -226,10 +229,13 @@ class DedupAnnSpec extends AnyFunSuite {
   test("connectedComponents == union-find on random pair graphs (+ a long chain)") {
     val rnd = new scala.util.Random(5)
     // random sparse graph + a 40-node path (forces many propagation rounds)
+    // + self-loop pairs: node 2000 appears ONLY as (2000, 2000) and must
+    // still be labelled root=self; node 0 is self-paired AND in real edges
     val pairs: Seq[(Long, Long)] =
       (0 until 150).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
         .filter(p => p._1 != p._2) ++
-      (1000L until 1040L).sliding(2).map(w => (w(1), w(0))).toSeq
+      (1000L until 1040L).sliding(2).map(w => (w(1), w(0))).toSeq ++
+      Seq((2000L, 2000L), (0L, 0L))
     val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
     val got = labels.as[(Long, Long)].collect().toMap
     val want = Dedup.bruteComponents(pairs)

@@ -216,7 +216,9 @@ class PlanQualitySpec extends AnyFunSuite {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"q13 must not plan a Window:\n$plan")
-    assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+    // match SortExec wherever it prints: bare ("Sort ["), under an operator
+    // prefix ("+- Sort ["), or inside a codegen span ("*(2) Sort [")
+    assert(!plan.linesIterator.exists(_.matches(""".*(\+- |\*\(\d+\) |^)Sort \[.*""")),
       s"q13 must not sort point rows:\n$plan")
     assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_long_topk"),
       s"q13 should partial-aggregate long_topk buffers map-side:\n$plan")
