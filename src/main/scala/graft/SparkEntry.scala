@@ -502,6 +502,14 @@ object SparkEntry {
             "'tax', l_tax) AS (metric, val)"))
     }),
 
+    "q55_seq_pack" -> ((s, dir) =>
+      // training-sequence packing: greedy whole-doc first-fit into
+      // 200-token sequences, distributed per content-derived shard — ONE
+      // shuffle + a per-shard linear scan; the DuckDB oracle replays the
+      // greedy recurrence with a recursive CTE, so every (doc → sequence)
+      // assignment is hash-gated, not just counts
+      graft.operators.Pack.sequences(t(s, dir, "documents"), budget = 200L).toDF()),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1221,6 +1229,24 @@ object SparkEntry {
          SELECT l_orderkey, 'discount', l_discount FROM lineitem WHERE l_orderkey < 1000
          UNION ALL
          SELECT l_orderkey, 'tax', l_tax FROM lineitem WHERE l_orderkey < 1000""",
+    "q55_seq_pack" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  doc_id %% 8 AS shard
+           FROM documents),
+         d AS (
+           SELECT shard, doc_id, n,
+                  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM base),
+         walk AS (
+           SELECT shard, doc_id, n, rn, CAST(0 AS BIGINT) AS seq, n AS run
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.shard, d.doc_id, d.n, d.rn,
+                  CASE WHEN w.run + d.n > 200 THEN w.seq + 1 ELSE w.seq END,
+                  CASE WHEN w.run + d.n > 200 THEN d.n ELSE w.run + d.n END
+           FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
+         SELECT shard, doc_id, n AS n_tokens, seq AS seq_id FROM walk""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,
