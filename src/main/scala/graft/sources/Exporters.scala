@@ -183,7 +183,9 @@ object Exporters {
       surfaces: org.apache.spark.sql.Dataset[SurfacePoly],
       outDir: String, bbox: Option[Env6] = None,
       srs: String = "urn:adv:crs:ETRS89_UTM32*DE_DHHN92_NH",
-      filePrefix: String = "part_"): Seq[(Int, String)] = {
+      filePrefix: String = "part_", version: String = "v2"): Seq[(Int, String)] = {
+    require(version == "v2" || version == "v3",
+      s"exportCityGmlDistributed: version must be v2 or v3, got '$version'")
     val spark = buildings.sparkSession
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -203,7 +205,8 @@ object Exporters {
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
         val tmp = s"$path.inprogress_$attempt"
-        if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, tmp, bbox, srs)
+        if (version == "v3") exportCityGmlV3Full(bSorted, sSorted, tmp, bbox, srs)
+        else if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, tmp, bbox, srs)
         else exportCityGml(bSorted, tmp, bbox, srs)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -101,6 +101,13 @@ class ExportSpec extends AnyFunSuite {
       val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$outDir2/part_$pid.gml"))
       assert(java.util.Arrays.equals(a, b), s"partition $pid file bytes not deterministic")
     }
+    // CityGML 3.0 variant: the same distributed path, the v3 writer — the
+    // version-agnostic reader must recover the identical surface set
+    val outDir3 = java.nio.file.Files.createTempDirectory("gmldist3").toString
+    Exporters.exportCityGmlDistributed(fps.toDS(), surfs.toDS(), outDir3, version = "v3")
+    val backS3 = Seq(0, 7).flatMap { pid =>
+      CityGmlReader.toSurfaces(CityGmlReader.parseFile(s"$outDir3/part_$pid.gml"), pid) }
+    assert(backS3.map(key).toSet === surfs.map(key).toSet)
   }
 
   test("CityJSON round trip: quantization-exact for 3-decimal source coords") {

@@ -140,6 +140,50 @@ class StreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sketch aggregates are streaming-safe: MG + KLL guarantees hold in complete mode") {
+    // the TypedImperativeAggregates maintain their buffers incrementally in
+    // the streaming state store; the result after the replay must be a LEGAL
+    // summary of the whole stream — same membership/error bounds as batch
+    // (order-dependence is exactly why the assertion is the guarantee, not
+    // row equality)
+    import org.apache.spark.sql.graft.TextFunctionsImpl
+    val src = spark.readStream.schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val agg = src.groupBy("event_type").agg(
+      TextFunctionsImpl.freq_topk(col("user_id").cast("string"), 64, 64).as("hh"),
+      TextFunctionsImpl.kll_quantiles(col("value"), 128, Seq(0.5)).as("med"))
+    val q = agg.writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sketch_stream")
+      .select(col("event_type"), col("hh"), element_at(col("med"), 1).as("med"))
+      .as[(String, Seq[(String, Long)], Double)].collect()
+    assert(got.nonEmpty)
+    val batch = spark.read.parquet(streamDir)
+    got.foreach { case (et, hh, med) =>
+      val truth = batch.where(col("event_type") === et)
+        .groupBy(col("user_id").cast("string").as("u")).count()
+        .as[(String, Long)].collect().toMap
+      val n = truth.values.sum
+      val eps = n / 65 // capacity + 1
+      val est = hh.toMap
+      truth.filter(_._2 > eps).keys.foreach { u =>
+        assert(est.contains(u), s"$et: heavy user $u missing (freq=${truth(u)}, eps=$eps)")
+      }
+      est.foreach { case (u, e) =>
+        val t = truth.getOrElse(u, 0L)
+        assert(e <= t && t - e <= eps, s"$et: '$u' estimate $e outside [${t - eps}, $t]")
+      }
+      // KLL median rank-error bound vs the exact sorted values
+      val vals = batch.where(col("event_type") === et)
+        .select(col("value")).as[Double].collect().sorted
+      val epsK = 2.0 * (math.log(math.max(vals.length, 256).toDouble / 128) /
+        math.log(2.0)) / 128
+      val err = math.abs(vals.count(_ <= med) - vals.length / 2.0) / vals.length.toDouble
+      assert(err <= math.max(epsK, 0.02), f"$et: streamed median $med rank err $err%.4f")
+    }
+  }
+
   test("stateful streaming sessionization == batch q25 sessions (event-time timeout)") {
     // dedicated replay dir: 3 sequential chunks + a far-future watermark-flush
     // sentinel (its own user) so every real user's event-time timeout fires
