@@ -689,7 +689,17 @@ object SparkEntry {
       // custom mix hashes are not ANSI-SQL-expressible, so this is gated by
       // the S-curve recall test (DedupAnnSpec) + the determinism probe; q19
       // hash-gates the identical shuffle shape in oracle mode.
-      graft.operators.Dedup.lshPairsBanded(t(s, dir, "documents")))
+      graft.operators.Dedup.lshPairsBanded(t(s, dir, "documents"))),
+    "g7_hll_distinct" -> ((s, dir) =>
+      // q30's sketch twin: HyperLogLog distinct users per event type beside
+      // the exact count. The estimate is a pure function of the value SET
+      // (max-merge registers), so it rides the 4-vs-8-core determinism
+      // probe; the error bound is guarantee-tested in HllSketchSpec (the
+      // hash is not ANSI-SQL-expressible, so no DuckDB row).
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_d"),
+          org.apache.spark.sql.graft.TextFunctionsImpl
+            .hll_count(col("user_id").cast("string"), 12).as("hll_d")))
   )
 
   /** DuckDB cosine mirroring VecKernels.cosine exactly: ascending-index

@@ -292,6 +292,9 @@ object TextFunctionsImpl {
   /** Mergeable bounded-memory quantiles (KLL-style) — see QuantileSketchAgg. */
   def kll_quantiles(x: Column, k: Int, probs: Seq[Double]): Column =
     column(QuantileSketchAgg(expression(x), k, probs).toAggregateExpression())
+  /** Mergeable HyperLogLog distinct count — see HllSketchAgg. */
+  def hll_count(x: Column, p: Int): Column =
+    column(HllSketchAgg(expression(x), p).toAggregateExpression())
   def minhash_bands(text: Column, n: Column, bands: Column, rows: Column): Column =
     column(MinHashBandsExpr(expression(text), expression(n),
       expression(bands), expression(rows)))
