@@ -1241,12 +1241,13 @@ object SparkEntry {
          SELECT l_orderkey, 'tax', l_tax FROM lineitem WHERE l_orderkey < 1000""",
     "q55_seq_pack" ->
       """WITH RECURSIVE base AS (
-           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-                  doc_id %% 8 AS shard
-           FROM documents),
+           SELECT doc_id,
+                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+                  (doc_id %% 8 + 8) %% 8 AS shard
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT shard, doc_id, n,
-                  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+                  row_number() OVER (PARTITION BY shard ORDER BY doc_id, n) AS rn
            FROM base),
          walk AS (
            SELECT shard, doc_id, n, rn, CAST(0 AS BIGINT) AS seq, n AS run

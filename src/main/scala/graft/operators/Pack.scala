@@ -30,14 +30,21 @@ object Pack {
     require(budget >= 1 && shards >= 1, s"need budget, shards >= 1; got ($budget, $shards)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("n"),
-      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+    // total semantics for dirty corpora: a null id has no deterministic
+    // shard (excluded, documented); null text counts as the empty string
+    // (one token under single-space split semantics, matching q15)
+    val base = docs.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("n"),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
     // hash partitioning sends every row of one shard to exactly ONE
     // partition (several shards may share a partition — the scan resets its
-    // state at each shard boundary); sortWithinPartitions adds no shuffle
+    // state at each shard boundary); sortWithinPartitions adds no shuffle.
+    // `n` is the tie-break for duplicate doc_ids: rows sharing (id, n) are
+    // interchangeable (identical packing effect), so the OUTPUT multiset is
+    // deterministic even then, and the oracle sorts by the same keys.
     base.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("n"))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         var curShard = Long.MinValue

@@ -205,7 +205,17 @@ object Exporters {
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
         val tmp = s"$path.inprogress_$attempt"
-        if (version == "v3") exportCityGmlV3Full(bSorted, sSorted, tmp, bbox, srs)
+        // partitions with no surface rows still carry geometry: synthesize
+        // the LOD0 ground polygons from the footprints (what the v2 path's
+        // exportCityGml fallback writes) so neither version ever emits a
+        // Building with attributes and zero geometry
+        val sFor = if (sSorted.nonEmpty) sSorted else bSorted.map { f =>
+          SurfacePoly(f.feature_id, s"${f.feature_id}_ground", "GroundSurface",
+            f.partition_id, s"${f.feature_id}_ground_poly",
+            f.ring.map(xy => XYZ(xy.x, xy.y, f.env.minz)),
+            f.holes.map(_.map(xy => XYZ(xy.x, xy.y, f.env.minz))))
+        }
+        if (version == "v3") exportCityGmlV3Full(bSorted, sFor, tmp, bbox, srs)
         else if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, tmp, bbox, srs)
         else exportCityGml(bSorted, tmp, bbox, srs)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),

@@ -58,6 +58,9 @@ class HllSketchSpec extends AnyFunSuite {
     val exact = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("d"))
       .as[(String, Long)].collect().toMap
+    val ref = events.repartition(7).groupBy("event_type")
+      .agg(TextFunctionsImpl.hll_count(col("user_id").cast("string"), 12).as("d"))
+      .as[(String, Long)].collect().toMap
     for (parts <- Seq(1, 13)) {
       val est = events.repartition(parts).groupBy("event_type")
         .agg(TextFunctionsImpl.hll_count(col("user_id").cast("string"), 12).as("d"))
@@ -67,9 +70,7 @@ class HllSketchSpec extends AnyFunSuite {
         assert(math.abs(e - n) / n.toDouble <= 3 * 1.04 / math.sqrt(4096.0),
           s"$et: est $e vs exact $n at parts=$parts")
       }
-      assert(est === events.repartition(7).groupBy("event_type")
-        .agg(TextFunctionsImpl.hll_count(col("user_id").cast("string"), 12).as("d"))
-        .as[(String, Long)].collect().toMap,
+      assert(est === ref,
         "HLL estimates must be partitioning-invariant (register determinism)")
     }
   }

@@ -22,6 +22,17 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("dirty corpora: null text counts as empty string, null ids are excluded") {
+    val docs = Seq[(java.lang.Long, String)](
+      (3L, "a b c"), (11L, null), (null, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Pack.sequences(docs, budget = 10L).collect()
+    // the null-id row has no deterministic shard — excluded, not crashed
+    assert(got.map(_.doc_id).toSet === Set(3L, 11L))
+    // null text == "" == one empty token under single-space split semantics
+    assert(got.find(_.doc_id == 11L).get.n_tokens === 1L)
+  }
+
   test("packing semantics: budget respected, oversized docs isolated, sequences dense") {
     // hand-built shard: ids all ≡ 3 (mod 8) so they land in one shard;
     // sizes: 120+60 fit in 200, 150 opens seq 1, 500 (oversized) gets its

@@ -108,6 +108,18 @@ class ExportSpec extends AnyFunSuite {
     val backS3 = Seq(0, 7).flatMap { pid =>
       CityGmlReader.toSurfaces(CityGmlReader.parseFile(s"$outDir3/part_$pid.gml"), pid) }
     assert(backS3.map(key).toSet === surfs.map(key).toSet)
+    // buildings-only dataset (no surface rows): v3 must still carry geometry
+    // (synthesized LOD0 ground polygons), never attribute-only Buildings
+    val outDir4 = java.nio.file.Files.createTempDirectory("gmldist4").toString
+    Exporters.exportCityGmlDistributed(fps.toDS(),
+      spark.emptyDataset[SurfacePoly], outDir4, version = "v3")
+    val back4 = CityGmlReader.toFootprints(
+      CityGmlReader.parseFile(s"$outDir4/part_0.gml"), 0)
+      .filter(_.feature_type == "Building")
+    val orig0 = fzk.filter(_.feature_type == "Building").head
+    assert(back4.nonEmpty)
+    assert(closedSet(back4.head.ring) === closedSet(orig0.ring),
+      "v3 buildings-only export must synthesize the ground ring")
   }
 
   test("CityJSON round trip: quantization-exact for 3-decimal source coords") {
