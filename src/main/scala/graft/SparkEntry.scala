@@ -510,6 +510,33 @@ object SparkEntry {
       // assignment is hash-gated, not just counts
       graft.operators.Pack.sequences(t(s, dir, "documents"), budget = 200L).toDF()),
 
+    "q56_decontaminate" -> ((s, dir) => {
+      // benchmark-leakage check: per training doc, the fraction of its
+      // distinct 3-grams appearing anywhere in the eval corpus (here a
+      // deterministic slice of the same table — self-contained oracle).
+      // Eval shingles broadcast; the training side never shuffles text.
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contamination(docs, docs.where(col("doc_id") % 23 === 0))
+    }),
+    "q57_redact" -> ((s, dir) => {
+      // PII scrub with injected deterministic PII on two slices, so the
+      // hash gate proves cross-engine REGEX PARITY on actual hits (a
+      // no-op-only corpus would prove nothing)
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call +49 30 "), col("doc_id"), lit(" 1234")))
+          .otherwise(col("text")).as("text"))
+      val clean = graft.functions.TextFunctions.redactPii(col("text"))
+      withPii.select(col("doc_id"), clean.as("clean"),
+        (clean =!= col("text")).as("changed"))
+    }),
+    "q58_repetition" -> ((s, dir) =>
+      // MassiveText/Gopher repeated-3-gram quality rule
+      t(s, dir, "documents").select(col("doc_id") +:
+        graft.functions.TextFunctions.repetitionColumns(col("text")): _*)),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1258,6 +1285,51 @@ object SparkEntry {
                   CASE WHEN w.run + d.n > 200 THEN d.n ELSE w.run + d.n END
            FROM d JOIN walk w ON d.shard = w.shard AND d.rn = w.rn + 1)
          SELECT shard, doc_id, n AS n_tokens, seq AS seq_id FROM walk""",
+    "q56_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id %% 23 = 0),
+         per AS (
+           SELECT doc_id, count(DISTINCT s) AS n_shingles,
+                  count(DISTINCT s) FILTER (WHERE s IN (SELECT s FROM ev)) AS n_hit
+           FROM sh GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(per.n_shingles, 0) AS n_shingles,
+                coalesce(per.n_hit, 0) AS n_hit,
+                CASE WHEN coalesce(per.n_shingles, 0) > 0
+                     THEN CAST(per.n_hit AS DOUBLE) / CAST(per.n_shingles AS DOUBLE)
+                     ELSE 0.0::DOUBLE END AS frac
+         FROM documents d LEFT JOIN per USING (doc_id)""",
+    "q57_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id %% 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+                       WHEN doc_id %% 11 = 0 THEN text || ' call +49 30 ' || doc_id || ' 1234'
+                       ELSE text END AS text
+           FROM documents),
+         red AS (
+           SELECT doc_id, text,
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                    '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+           FROM pii)
+         SELECT doc_id, clean, clean <> text AS changed FROM red""",
+    "q58_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) >= 3
+                       THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+                       ELSE [] END AS grams
+           FROM toks)
+         SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                CASE WHEN len(grams) > 0
+                     THEN 1.0::DOUBLE - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+                     ELSE 0.0::DOUBLE END AS rep_frac
+         FROM g""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,

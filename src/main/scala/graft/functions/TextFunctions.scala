@@ -121,6 +121,36 @@ object TextFunctions {
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)
 
+  /**
+   * PII redaction: e-mail addresses and phone-shaped digit runs replaced by
+   * typed placeholders — the scrub pass every public-web training corpus
+   * runs before anything else. Pure codegen `regexp_replace` chain on the
+   * scan (no UDF); the patterns deliberately use only constructs with
+   * identical semantics in Java regex and RE2, so the operator is
+   * DuckDB-oracle-checked (q57) — cross-engine regex parity is exactly the
+   * kind of silent divergence a 100-TB scrub cannot afford.
+   */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+  def redactPii(textCol: Column): Column =
+    regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /**
+   * Intra-document repetition (the MassiveText/Gopher "repeated n-gram
+   * fraction" quality rule): 1 − distinct/total over word 3-grams; 0 for
+   * docs too short to have any. High values flag boilerplate/templated
+   * text that survives per-document dedup. Built-ins only; q58 oracle.
+   */
+  def repetitionColumns(textCol: Column, n: Int = 3): Seq[Column] = {
+    val grams = org.apache.spark.sql.graft.TextFunctionsImpl
+      .shingle_make(textCol, lit(n))
+    val total = size(grams).cast("long")
+    val distinctN = size(array_distinct(grams)).cast("long")
+    Seq(total.as("n_grams"), distinctN.as("n_distinct"),
+      when(total > 0L, lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as("rep_frac"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

@@ -144,6 +144,44 @@ object Dedup {
       .where(col("jac") >= minJaccard)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
 
+  /**
+   * Benchmark decontamination: per training document, the fraction of its
+   * distinct word n-grams that appear ANYWHERE in the evaluation corpus —
+   * the standard leakage check before a pretraining run (a doc overlapping
+   * an eval benchmark must be dropped, or downstream evals are meaningless).
+   * Scale shape: the eval side is SMALL by definition → its distinct
+   * shingle set broadcasts; the 10^12-row training side explodes its
+   * shingles through the one-pass codegen kernel, marks hits against the
+   * broadcast, and re-aggregates per doc with map-side combine. Docs too
+   * short to have any n-gram report (0, 0, 0.0). Output:
+   * (doc_id, n_shingles, n_hit, frac) — hash-gated as q56.
+   */
+  def contamination(docs: DataFrame, evalDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    ngram: Int = 3): DataFrame = {
+    val sm: Column => Column = t =>
+      org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(t, lit(ngram))
+    val evalSh = evalDocs.select(explode(sm(col(textCol))).as("s"))
+      .distinct().withColumn("__hit", lit(1L))
+    val per = docs.select(col(idCol).as("id"),
+      array_distinct(sm(col(textCol))).as("shs"))
+    val hits = per.select(col("id"), explode(col("shs")).as("s"))
+      .join(broadcast(evalSh), Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    // left join from `per`: short docs explode to nothing but must report
+    per.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("frac"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
   def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
     val tok = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }
