@@ -537,6 +537,24 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.repetitionColumns(col("text")): _*)),
 
+    "q59_bloom_semi" -> ((s, dir) => {
+      // the Bloom pre-filter pattern under the hard gate: the big side is
+      // filtered SCAN-LOCALLY by bloom_contains (bounded ~12 KB driver
+      // collect of the filter, like the centroid fits) before the exact
+      // semi join — a single false negative would drop a group and fail
+      // the hash compare against the plain-IN oracle
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val bloom = urgent.agg(org.apache.spark.sql.graft.TextFunctionsImpl
+        .bloom_build(col("o_orderkey").cast("string"), 10000L, 0.01)).head().getAs[Array[Byte]](0)
+      t(s, dir, "lineitem")
+        .where(org.apache.spark.sql.graft.TextFunctionsImpl.bloom_contains(
+          lit(bloom), col("l_orderkey").cast("string")))
+        .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    }),
+
     "q30_distinct_agg" -> ((s, dir) => {
       // distinct aggregates (Expand-based plan) + conditional count per nation
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -1330,6 +1348,12 @@ object SparkEntry {
                      THEN 1.0::DOUBLE - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
                      ELSE 0.0::DOUBLE END AS rep_frac
          FROM g""",
+    "q59_bloom_semi" ->
+      """SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
     "q30_distinct_agg" ->
       """SELECT n_name,
                 count(DISTINCT c_custkey) AS n_cust,

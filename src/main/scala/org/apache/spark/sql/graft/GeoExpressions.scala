@@ -379,6 +379,9 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("freq_topk", FreqSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("kll_quantiles", QuantileSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("hll_count", HllSketchAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("bloom_build", BloomBuildAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("bloom_contains",
+      es => BloomContainsExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_x", es => ZCellXExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("z_cell_y", es => ZCellYExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("tile_cover", es => TileCoverExpr(es(0), es(1)), "built-in")

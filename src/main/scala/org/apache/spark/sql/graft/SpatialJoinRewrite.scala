@@ -194,6 +194,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("freq_topk", FreqSketchAgg.fromSql))
     e.injectFunction(fn("kll_quantiles", QuantileSketchAgg.fromSql))
     e.injectFunction(fn("hll_count", HllSketchAgg.fromSql))
+    e.injectFunction(fn("bloom_build", BloomBuildAgg.fromSql))
+    e.injectFunction(fn("bloom_contains", es => BloomContainsExpr(es(0), es(1))))
     e.injectFunction(fn("z_cell_x", es => ZCellXExpr(es(0))))
     e.injectFunction(fn("z_cell_y", es => ZCellYExpr(es(0))))
     e.injectFunction(fn("tile_cover", es => TileCoverExpr(es(0), es(1))))

@@ -295,6 +295,12 @@ object TextFunctionsImpl {
   /** Mergeable HyperLogLog distinct count — see HllSketchAgg. */
   def hll_count(x: Column, p: Int): Column =
     column(HllSketchAgg(expression(x), p).toAggregateExpression())
+  /** Bloom filter build aggregate — see BloomFilter.scala. */
+  def bloom_build(x: Column, n: Long, fpp: Double): Column =
+    column(BloomBuildAgg(expression(x), n, fpp).toAggregateExpression())
+  /** Scan-side Bloom membership predicate — see BloomFilter.scala. */
+  def bloom_contains(bloom: Column, x: Column): Column =
+    column(BloomContainsExpr(expression(bloom), expression(x)))
   def minhash_bands(text: Column, n: Column, bands: Column, rows: Column): Column =
     column(MinHashBandsExpr(expression(text), expression(n),
       expression(bands), expression(rows)))
