@@ -118,7 +118,7 @@ object ScaleBench {
          || best join wall time @ local[$nHigh] | ${f"$t32%.3f"} s |
          || throughput @ local[$nLow] | ${f"$r8%.0f"} rows/s |
          || throughput @ local[$nHigh] | ${f"$r32%.0f"} rows/s |
-         || **scaling efficiency** r32/(4·r8) | **${f"$eff%.3f"}** (target ≥ 0.8) |
+         || **scaling efficiency** r$nHigh/(4·r$nLow) | **${f"$eff%.3f"}** (target ≥ 0.8) |
          |
          |Companion north-star stage: kNN join (codegen knn_matches expression,
          |k=3 against the 101 footprint centroids) on the same protocol:

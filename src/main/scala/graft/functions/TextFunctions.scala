@@ -142,8 +142,11 @@ object TextFunctions {
    * text that survives per-document dedup. Built-ins only; q58 oracle.
    */
   def repetitionColumns(textCol: Column, n: Int = 3): Seq[Column] = {
+    // null text == empty string == zero grams — size(null) would propagate
+    // NULL counts, diverging from the documented (0, 0, 0.0) contract and
+    // from the q58 oracle's ELSE-[] branch
     val grams = org.apache.spark.sql.graft.TextFunctionsImpl
-      .shingle_make(textCol, lit(n))
+      .shingle_make(coalesce(textCol, lit("")), lit(n))
     val total = size(grams).cast("long")
     val distinctN = size(array_distinct(grams)).cast("long")
     Seq(total.as("n_grams"), distinctN.as("n_distinct"),

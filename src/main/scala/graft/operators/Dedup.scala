@@ -163,22 +163,18 @@ object Dedup {
       org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(t, lit(ngram))
     val evalSh = evalDocs.select(explode(sm(col(textCol))).as("s"))
       .distinct().withColumn("__hit", lit(1L))
-    val per = docs.select(col(idCol).as("id"),
-      array_distinct(sm(col(textCol))).as("shs"))
-    val hits = per.select(col("id"), explode(col("shs")).as("s"))
+    // explode_outer keeps short/empty docs as one null-shingle row, so ONE
+    // scan + one broadcast join + one groupBy covers every doc — count(s)
+    // skips the null, reporting (0, 0, 0.0) without a join-back pass
+    docs.select(col(idCol).as("id"),
+        explode_outer(array_distinct(sm(col(textCol)))).as("s"))
       .join(broadcast(evalSh), Seq("s"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
+      .agg(count(col("s")).as("n_shingles"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
-    // left join from `per`: short docs explode to nothing but must report
-    per.select(col("id"))
-      .join(hits, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
-          coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_shingles").cast("double"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_hit"),
+        when(col("n_shingles") > 0L,
+          col("n_hit").cast("double") / col("n_shingles").cast("double"))
           .otherwise(lit(0.0)).as("frac"))
   }
 

@@ -34,7 +34,9 @@ object BloomKernel {
   }
 
   def numHashes(n: Long, m: Long): Int =
-    math.max(1, math.round(m.toDouble / n.toDouble * math.log(2)).toInt)
+    // capped at 64: beyond that more hashes cannot help (every word is
+    // touched) and the serialized-header validity contract assumes k ≤ 64
+    math.min(64, math.max(1, math.round(m.toDouble / n.toDouble * math.log(2)).toInt))
 
   @inline private def hashes(v: UTF8String): (Long, Long) = {
     val b = v.getBytes
@@ -53,10 +55,19 @@ object BloomKernel {
   }
 
   /** Membership test straight off the serialized bytes — no deserialization
-    * allocation on the per-row path (header: 8-byte m + 4-byte k). */
+    * allocation on the per-row path (header: 8-byte m + 4-byte k). The
+    * header is validated against the byte length: bloom_contains is a
+    * user-facing SQL function, and Unsafe reads driven by an unchecked
+    * header from arbitrary caller bytes would be an out-of-bounds read
+    * (up to a JVM crash), not a clean error. */
   def contains(bloom: Array[Byte], v: UTF8String): Boolean = {
+    require(bloom.length >= 20,
+      s"bloom_contains: not a serialized bloom filter (${bloom.length} bytes < 20)")
     val m = Platform.getLong(bloom, Platform.BYTE_ARRAY_OFFSET)
     val k = Platform.getInt(bloom, Platform.BYTE_ARRAY_OFFSET + 8)
+    require(m >= 64 && m % 64 == 0 && k >= 1 && k <= 64 &&
+      bloom.length.toLong == 12L + (m >>> 6) * 8L,
+      s"bloom_contains: corrupt bloom header (m=$m, k=$k, bytes=${bloom.length})")
     val (h1, h2) = hashes(v)
     var i = 0
     while (i < k) {
@@ -106,6 +117,12 @@ case class BloomBuildAgg(
 
   private val m: Long = BloomKernel.numBits(n, fpp)
   private val k: Int = BloomKernel.numHashes(n, m)
+  // the serialized form must fit a JVM byte array: Int-truncating the word
+  // count or the 12 + words*8 byte length would turn an oversized n into
+  // Unsafe OOB writes, not a clean error
+  require(12L + (m >>> 6) * 8L <= Int.MaxValue.toLong,
+    s"bloom_build: n=$n at fpp=$fpp needs $m bits (> 2 GB serialized) — " +
+      "shard the build or relax fpp")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)

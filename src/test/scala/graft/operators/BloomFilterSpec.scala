@@ -65,6 +65,29 @@ class BloomFilterSpec extends AnyFunSuite {
       s"survivors $prefRows far above matches $exactRows + fpp slack")
   }
 
+  test("malformed bloom bytes fail loudly, never Unsafe-read out of bounds") {
+    // bloom_contains is user-facing SQL — arbitrary caller bytes must hit
+    // the header validation, not undefined Unsafe reads
+    for (bad <- Seq(Array[Byte](1), new Array[Byte](12), {
+      val b = new Array[Byte](20) // m = 0 in the header
+      b
+    }, {
+      val b = new Array[Byte](20)
+      // header claims a huge m that the 20-byte payload cannot hold
+      org.apache.spark.unsafe.Platform.putLong(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 1L << 40)
+      org.apache.spark.unsafe.Platform.putInt(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 8, 5)
+      b
+    })) {
+      intercept[IllegalArgumentException](BloomKernel.contains(bad, u("x")))
+    }
+    // oversized builds fail at construction, not with wrapped allocations
+    intercept[IllegalArgumentException](
+      org.apache.spark.sql.graft.BloomBuildAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 4000000000L, 0.001))
+  }
+
   test("bloom_build / bloom_contains via SQL registration") {
     graft.functions.GeoFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

@@ -88,6 +88,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(r05 < r07 && r07 <= r09, "recall must be monotone in Jaccard")
   }
 
+  test("contamination: hit fractions vs hand oracle; dirty docs (null/short text) report zeros") {
+    val trainDocs = Seq[(java.lang.Long, String)](
+      (1L, "a b c d"), // shingles {a b c, b c d}; "a b c" is in the eval set
+      (2L, "a b"),     // too short for a 3-gram
+      (3L, null)       // null text
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.contamination(trainDocs, evalDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((0L, 0L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("repetition columns: null text reports (0, 0, 0.0), repeated grams counted") {
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "x y x y x y x y"), // 6 grams, 2 distinct -> rep 2/3
+      (2L, null)
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +:
+        graft.functions.TextFunctions.repetitionColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((6L, 2L, 1.0 - 2.0 / 6.0)))
+    assert(got(2L) === ((0L, 0L, 0.0)))
+  }
+
   test("simhash columnar expression ≡ scalar kernel") {
     // collect ONE limited sample and derive both sides from it — an
     // unordered limit() run twice may pick different row subsets
