@@ -224,6 +224,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q13 should partial-aggregate long_topk buffers map-side:\n$plan")
   }
 
+  test("decontamination (q56) broadcasts the eval shingle set — no shuffle of training shingles") {
+    // the eval corpus is small by definition; its distinct shingle set must
+    // arrive as a BroadcastHashJoin build side, never force a sort-merge
+    // exchange of the 10^12-row side's exploded shingles
+    val q = graft.SparkEntry.queries("q56_decontaminate")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ of exploded shingles:\n$plan")
+  }
+
+  test("bloom pre-filter (q59) applies at the scan, before the join") {
+    // bloom_contains must appear in a Filter below the join — survivors
+    // only, never the full fact side, reach the exchange
+    val q = graft.SparkEntry.queries("q59_bloom_semi")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l => l.contains("bloom_contains"))
+    val joinIdx = lines.indexWhere(l => l.contains("Join"))
+    assert(filterIdx >= 0, s"bloom_contains filter missing:\n$plan")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter must sit BELOW the join (deeper in the tree):\n$plan")
+  }
+
   test("simhash (q20) is a codegen projection — no Encoder round-trip") {
     // the typed Dataset.map formulation forced DeserializeToObject/
     // SerializeFromObject into the stage, breaking whole-stage codegen and
