@@ -735,6 +735,13 @@ object SparkEntry {
       // the S-curve recall test (DedupAnnSpec) + the determinism probe; q19
       // hash-gates the identical shuffle shape in oracle mode.
       graft.operators.Dedup.lshPairsBanded(t(s, dir, "documents"))),
+    "g8_tfidf_terms" -> ((s, dir) =>
+      // TF-IDF keyword extraction (top-3 terms per doc). ln() is
+      // libm-dependent, so no DuckDB row (a last-ulp difference could flip
+      // a rank at an exact crossover — the hex_encode/pow lesson);
+      // TextStatsSpec replays the formula with the same Math.log, and the
+      // determinism probe covers cross-parallelism stability.
+      graft.functions.TextFunctions.tfidfTopTerms(t(s, dir, "documents"))),
     "g7_hll_distinct" -> ((s, dir) =>
       // q30's sketch twin: HyperLogLog distinct users per event type beside
       // the exact count. The estimate is a pure function of the value SET

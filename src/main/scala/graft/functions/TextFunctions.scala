@@ -154,6 +154,37 @@ object TextFunctions {
         .otherwise(lit(0.0)).as("rep_frac"))
   }
 
+  /**
+   * TF-IDF keyword extraction: the top-k terms of each document by
+   * tf · ln(N/df), ties broken by term — corpus-level keyword/topic
+   * signal for curation and inspection. Shuffle shape: one groupBy for
+   * per-doc term frequencies, one for document frequencies, an equi-join
+   * on term, and a bounded per-doc ranking; the corpus size joins in as a
+   * broadcast scalar. NOT DuckDB-oracled by design: ln() is libm-dependent
+   * and a last-ulp difference between engines could flip a rank at an
+   * exact crossover (the same reason hex_encode's pow-based oracle was
+   * rejected) — TextStatsSpec replays the exact formula with the same
+   * Math.log instead.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

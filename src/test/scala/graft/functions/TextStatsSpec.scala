@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/**
+ * TF-IDF keyword extraction vs a driver-side exact replay — same Math.log,
+ * so the comparison is bit-deterministic (cross-ENGINE ln() parity is the
+ * reason this operator has no DuckDB row; cross-IMPLEMENTATION parity with
+ * identical libm is exact).
+ */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidfTopTerms == exact driver replay (ranks, tf, df)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val n = rows.length.toDouble
+    val termsPerDoc = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty)
+    }
+    val df = termsPerDoc.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val want = termsPerDoc.flatMap { case (id, ts) =>
+      ts.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .map { case (term, tf) => (term, tf, df(term), tf.toDouble * math.log(n / df(term).toDouble)) }
+        .sortBy { case (term, _, _, s) => (-s, term) }
+        .take(3).zipWithIndex
+        .map { case ((term, tf, dfv, _), i) => (id, term, tf, dfv, i + 1) }
+    }.toSet
+    val got = TextFunctions.tfidfTopTerms(docs)
+      .as[(Long, String, Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+}
