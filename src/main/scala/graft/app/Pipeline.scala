@@ -53,19 +53,47 @@ object Pipeline {
 
   /**
    * Curation stages of the LLM-data pipeline, composed from the
-   * independently oracle-verified pieces (q19 LSH pairs, q36 clustering,
-   * q37 keep-best, q38 split): near-duplicate pairs over `textCol` →
-   * transitive clusters → keep the highest-quality row per cluster
-   * (singletons keep themselves; ties break on id ascending) → attach the
-   * deterministic content-derived train/val/test split. Returns the input
-   * rows filtered to the keepers, plus a `split` column. Every stage is the
-   * banded/scalar-shuffle shape of the underlying operators — nothing here
-   * adds an all-pairs join or a vector/text-bloated shuffle.
+   * independently oracle-verified pieces (q57 redaction, q58 repetition,
+   * q56 decontamination, q19 LSH pairs, q36 clustering, q37 keep-best,
+   * q38 split): [optional PII scrub → repetition gate → benchmark
+   * decontamination] → near-duplicate pairs over `textCol` → transitive
+   * clusters → keep the highest-quality row per cluster (singletons keep
+   * themselves; ties break on id ascending) → attach the deterministic
+   * content-derived train/val/test split. Returns the surviving rows
+   * (scrubbed text if `scrubPii`), plus a `split` column. Every stage is
+   * the banded/scalar-shuffle shape of the underlying operators — nothing
+   * here adds an all-pairs join or a vector/text-bloated shuffle.
    */
   def curate(rows: DataFrame, idCol: String = "image_id", textCol: String = "caption",
-             minJaccard: Double = 0.5): DataFrame = {
+             minJaccard: Double = 0.5,
+             scrubPii: Boolean = false,
+             maxRepetition: Double = 1.0,
+             evalDocs: Option[DataFrame] = None,
+             maxContamination: Double = 0.2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = rows.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // optional upstream gates, in standard pipeline order:
+    // 1. PII scrub FIRST — redacted text is what every later stage (and the
+    //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
+    // 3. benchmark decontamination (broadcast eval shingles) — all three
+    //    content-derived, so crash/rerun byte-stability is preserved
+    val scrubbed =
+      if (scrubPii)
+        rows.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
+      else rows
+    val repGated =
+      if (maxRepetition < 1.0)
+        scrubbed.where(
+          graft.functions.TextFunctions.repetitionFrac(col(textCol)) <= maxRepetition)
+      else scrubbed
+    val gated = evalDocs match {
+      case Some(ev) =>
+        val clean = graft.operators.Dedup.contamination(repGated, ev, idCol, textCol)
+          .where(col("frac") < maxContamination).select(col(idCol))
+        repGated.join(clean, Seq(idCol), "left_semi")
+      case None => repGated
+    }
+    val rowsIn = gated
+    val docs = rowsIn.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val pairs = graft.operators.Dedup.lshPairs(docs, minJaccard = minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.Dedup.connectedComponents(pairs)
@@ -77,7 +105,7 @@ object Pipeline {
     val w = Window.partitionBy("root").orderBy(col("quality").desc, col("doc_id").asc)
     val keepers = labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("doc_id").as(idCol))
-    rows.join(keepers, Seq(idCol), "left_semi")
+    rowsIn.join(keepers, Seq(idCol), "left_semi")
       .withColumn("split", graft.functions.TextFunctions.hashSplit(col(idCol)))
   }
 

@@ -154,6 +154,10 @@ object TextFunctions {
         .otherwise(lit(0.0)).as("rep_frac"))
   }
 
+  /** Just the repeated-n-gram fraction (for filters/gates). */
+  def repetitionFrac(textCol: Column, n: Int = 3): Column =
+    repetitionColumns(textCol, n).last
+
   /**
    * TF-IDF keyword extraction: the top-k terms of each document by
    * tf · ln(N/df), ties broken by term — corpus-level keyword/topic

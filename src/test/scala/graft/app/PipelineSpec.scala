@@ -68,6 +68,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(splits.values.toSet.size === 3, "3000/3 keepers should hit all three splits")
   }
 
+  test("curation gates: PII scrub rewrites captions; repetition + decontamination drop rows") {
+    // distinct captions (no dedup interference): id 0 carries an email,
+    // id 1 is pure boilerplate (one repeated token), id 2 matches the eval
+    // set verbatim, the rest are clean and unique
+    val rows = (0L until 40L).map { i =>
+      val cap = i match {
+        case 0 => "reach me at someone@example.com for details today ok"
+        case 1 => "spam spam spam spam spam spam spam spam spam spam"
+        case 2 => "the secret benchmark answer is forty two exactly here"
+        case _ => s"unique caption number $i with words a$i b$i c$i d$i"
+      }
+      (f"img_$i%010d", cap, 457840.0 + i * 0.01, 5439081.0)
+    }.toDF("image_id", "caption", "x", "y")
+    val evalSet = Seq((900L, "the secret benchmark answer is forty two exactly here"))
+      .toDF("image_id", "caption")
+    val curated = Pipeline.curate(rows, scrubPii = true, maxRepetition = 0.6,
+      evalDocs = Some(evalSet), maxContamination = 0.5)
+      .select("image_id", "caption").as[(String, String)].collect().toMap
+    // PII scrubbed in the SURVIVING row, not dropped
+    assert(curated(f"img_${0L}%010d").contains("<EMAIL>"))
+    assert(!curated(f"img_${0L}%010d").contains("example.com"))
+    // boilerplate (rep_frac = 1 - 1/8 > 0.6) and contaminated rows are gone
+    assert(!curated.contains(f"img_${1L}%010d"), "repetition gate must drop boilerplate")
+    assert(!curated.contains(f"img_${2L}%010d"), "decontamination must drop eval matches")
+    // clean rows all survive with their original captions
+    (3L until 40L).foreach(i => assert(curated(f"img_$i%010d").startsWith("unique caption")))
+    // gates off == previous behavior (all rows survive, none rewritten)
+    val plain = Pipeline.curate(rows).select("image_id").as[String].collect()
+    assert(plain.length === 40)
+  }
+
   test("curated pipeline end to end: resumable, duplicates dropped, split byte-stable") {
     val table = java.nio.file.Files.createTempDirectory("pipe_cur_out").toString + "/cur"
     val images = spark.read.parquet(curatedImagesDir)
