@@ -87,7 +87,15 @@ object Pipeline {
       else scrubbed
     val gated = evalDocs match {
       case Some(ev) =>
-        val clean = graft.operators.Dedup.contamination(repGated, ev, idCol, textCol)
+        // the eval side must see the SAME normalization as the training
+        // side: with scrubPii on, an eval passage containing PII would
+        // otherwise never match its redacted training copy and the
+        // contaminated doc would slip through
+        val evNorm =
+          if (scrubPii)
+            ev.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
+          else ev
+        val clean = graft.operators.Dedup.contamination(repGated, evNorm, idCol, textCol)
           .where(col("frac") < maxContamination).select(col(idCol))
         repGated.join(clean, Seq(idCol), "left_semi")
       case None => repGated
@@ -116,10 +124,16 @@ object Pipeline {
     * the curated content (keepers AND split values) is byte-stable. */
   def run(spark: SparkSession, imagesDir: String, polys: Seq[Footprint],
           outTable: String, zoom: Int = 20, nBuckets: Int = 16,
-          curate: Boolean = false): (Int, Int, Int) = {
+          curate: Boolean = false,
+          scrubPii: Boolean = false, maxRepetition: Double = 1.0,
+          evalDocs: Option[DataFrame] = None,
+          maxContamination: Double = 0.2): (Int, Int, Int) = {
     val images = spark.read.parquet(imagesDir)
     val (input, keep) =
-      if (curate) (this.curate(images), Seq("split")) else (images, Nil)
+      if (curate)
+        (this.curate(images, scrubPii = scrubPii, maxRepetition = maxRepetition,
+          evalDocs = evalDocs, maxContamination = maxContamination), Seq("split"))
+      else (images, Nil)
     val enriched = enrich(input, polys, zoom = zoom, nBuckets = nBuckets, keepCols = keep)
     val (written, skipped) = IceLite.writeResumable(enriched, outTable, "bucket")
     val audit = IceLite.verifyLineage(spark, outTable, "bucket")

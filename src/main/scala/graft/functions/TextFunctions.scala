@@ -168,17 +168,20 @@ object TextFunctions {
    * and a last-ulp difference between engines could flip a rank at an
    * exact crossover (the same reason hex_encode's pow-based oracle was
    * rejected) — TextStatsSpec replays the exact formula with the same
-   * Math.log instead.
+   * StrictMath.log (what Spark's `log` evaluates) instead.
    */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // canonical tokenizer shared with the dedup family — a divergent token
+    // stream here would silently decouple TF-IDF from the df/dedup view
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
+      explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf already has one row per (doc, term) — df falls out of it without
+    // re-tokenizing the corpus or shuffling the exploded token stream again
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

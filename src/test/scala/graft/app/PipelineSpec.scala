@@ -77,11 +77,16 @@ class PipelineSpec extends AnyFunSuite {
         case 0 => "reach me at someone@example.com for details today ok"
         case 1 => "spam spam spam spam spam spam spam spam spam spam"
         case 2 => "the secret benchmark answer is forty two exactly here"
+        // PII *inside* a contaminated passage: redaction must not mask the
+        // eval overlap (the eval side is scrubbed identically)
+        case 3 => "email leak@bench.org about the hidden answer key today"
         case _ => s"unique caption number $i with words a$i b$i c$i d$i"
       }
       (f"img_$i%010d", cap, 457840.0 + i * 0.01, 5439081.0)
     }.toDF("image_id", "caption", "x", "y")
-    val evalSet = Seq((900L, "the secret benchmark answer is forty two exactly here"))
+    val evalSet = Seq(
+      (900L, "the secret benchmark answer is forty two exactly here"),
+      (901L, "email leak@bench.org about the hidden answer key today"))
       .toDF("image_id", "caption")
     val curated = Pipeline.curate(rows, scrubPii = true, maxRepetition = 0.6,
       evalDocs = Some(evalSet), maxContamination = 0.5)
@@ -92,8 +97,10 @@ class PipelineSpec extends AnyFunSuite {
     // boilerplate (rep_frac = 1 - 1/8 > 0.6) and contaminated rows are gone
     assert(!curated.contains(f"img_${1L}%010d"), "repetition gate must drop boilerplate")
     assert(!curated.contains(f"img_${2L}%010d"), "decontamination must drop eval matches")
+    assert(!curated.contains(f"img_${3L}%010d"),
+      "redaction must not mask contamination (eval side scrubbed identically)")
     // clean rows all survive with their original captions
-    (3L until 40L).foreach(i => assert(curated(f"img_$i%010d").startsWith("unique caption")))
+    (4L until 40L).foreach(i => assert(curated(f"img_$i%010d").startsWith("unique caption")))
     // gates off == previous behavior (all rows survive, none rewritten)
     val plain = Pipeline.curate(rows).select("image_id").as[String].collect()
     assert(plain.length === 40)

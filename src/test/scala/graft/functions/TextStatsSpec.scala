@@ -4,10 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /**
- * TF-IDF keyword extraction vs a driver-side exact replay — same Math.log,
- * so the comparison is bit-deterministic (cross-ENGINE ln() parity is the
+ * TF-IDF keyword extraction vs a driver-side exact replay — Spark's `log`
+ * evaluates via StrictMath.log (verified in the catalyst bytecode; HotSpot's
+ * Math.log intrinsic may differ by 1 ulp), so the replay uses StrictMath too
+ * and the comparison is bit-deterministic (cross-ENGINE ln() parity is the
  * reason this operator has no DuckDB row; cross-IMPLEMENTATION parity with
- * identical libm is exact).
+ * the identical StrictMath is exact).
  */
 class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -24,7 +26,8 @@ class TextStatsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
     val want = termsPerDoc.flatMap { case (id, ts) =>
       ts.groupBy(identity).view.mapValues(_.length.toLong).toSeq
-        .map { case (term, tf) => (term, tf, df(term), tf.toDouble * math.log(n / df(term).toDouble)) }
+        .map { case (term, tf) =>
+          (term, tf, df(term), tf.toDouble * StrictMath.log(n / df(term).toDouble)) }
         .sortBy { case (term, _, _, s) => (-s, term) }
         .take(3).zipWithIndex
         .map { case ((term, tf, dfv, _), i) => (id, term, tf, dfv, i + 1) }
