@@ -615,9 +615,17 @@ object SparkEntry {
         graft.functions.TextFunctions.qualityColumns(col("text")).last)
       val labeled = quality.join(cc, Seq("doc_id"), "left")
         .withColumn("root", coalesce(col("root"), col("doc_id")))
-      val w = Window.partitionBy("root").orderBy(col("quality").desc, col("doc_id").asc)
-      labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("root").as("cluster_root"), col("doc_id").as("keeper"), col("quality"))
+      // per-cluster argmax via the 1-bounded topk_by aggregate (map-side
+      // combine, no per-root sort): template spam makes mega-clusters —
+      // thousands of near-identical docs under one root — exactly where a
+      // row_number() window's per-root shuffle+sort hurts; the window form
+      // lives on as the DuckDB oracle twin. Plan gate: no Window/Sort.
+      labeled.groupBy("root")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+          col("quality"), col("doc_id"), 1).as("top"))
+        .select(col("root").as("cluster_root"),
+          element_at(col("top"), 1).getField("key").as("keeper"),
+          element_at(col("top"), 1).getField("score").as("quality"))
     }),
     "q36_dedup_clusters" -> ((s, dir) => {
       // transitive near-dup clustering: LSH pairs -> connected components ->

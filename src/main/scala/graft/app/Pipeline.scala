@@ -57,6 +57,8 @@ object Pipeline {
    * q56 decontamination, q19 LSH pairs, q36 clustering, q37 keep-best,
    * q38 split): [optional PII scrub → repetition gate → benchmark
    * decontamination] → near-duplicate pairs over `textCol` → transitive
+   * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
+   * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
    * themselves; ties break on id ascending) → attach the deterministic
    * content-derived train/val/test split. Returns the surviving rows
@@ -70,7 +72,6 @@ object Pipeline {
              maxRepetition: Double = 1.0,
              evalDocs: Option[DataFrame] = None,
              maxContamination: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -96,7 +97,7 @@ object Pipeline {
             ev.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
           else ev
         val clean = graft.operators.Dedup.contamination(repGated, evNorm, idCol, textCol)
-          .where(col("frac") < maxContamination).select(col(idCol))
+          .where(col("frac") <= maxContamination).select(col(idCol))
         repGated.join(clean, Seq(idCol), "left_semi")
       case None => repGated
     }
@@ -110,9 +111,13 @@ object Pipeline {
       graft.functions.TextFunctions.qualityColumns(col("text")).last)
     val labeled = quality.join(cc, Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("root"), col("doc_id")))
-    val w = Window.partitionBy("root").orderBy(col("quality").desc, col("doc_id").asc)
-    val keepers = labeled.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("doc_id").as(idCol))
+    // per-cluster argmax (quality desc, id asc) via the 1-bounded topk_by
+    // aggregate — map-side combine, no per-root shuffle+sort of every member
+    // of a template-spam mega-cluster (q37's shape; window form = oracle twin)
+    val keepers = labeled.groupBy("root")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("quality"), col("doc_id"), 1).as("top"))
+      .select(element_at(col("top"), 1).getField("key").as(idCol))
     rowsIn.join(keepers, Seq(idCol), "left_semi")
       .withColumn("split", graft.functions.TextFunctions.hashSplit(col(idCol)))
   }

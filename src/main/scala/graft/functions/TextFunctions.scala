@@ -163,8 +163,13 @@ object TextFunctions {
    * tf · ln(N/df), ties broken by term — corpus-level keyword/topic
    * signal for curation and inspection. Shuffle shape: one groupBy for
    * per-doc term frequencies, one for document frequencies, an equi-join
-   * on term, and a bounded per-doc ranking; the corpus size joins in as a
-   * broadcast scalar. NOT DuckDB-oracled by design: ln() is libm-dependent
+   * on term, and a k-bounded `topk_by` aggregate per doc (map-side combine:
+   * only k-entry buffers cross the final shuffle, and the (tf, df) columns
+   * ride the buffer as payload, so there is NO join-back against the full
+   * (doc, term) table and NO per-doc sort of it — at 10^12 docs that table
+   * is the query's largest intermediate, which a row_number() window would
+   * shuffle AND sort whole); the corpus size joins in as a broadcast
+   * scalar. NOT DuckDB-oracled by design: ln() is libm-dependent
    * and a last-ulp difference between engines could flip a rank at an
    * exact crossover (the same reason hex_encode's pow-based oracle was
    * rejected) — TextStatsSpec replays the exact formula with the same
@@ -172,7 +177,6 @@ object TextFunctions {
    */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // canonical tokenizer shared with the dedup family — a divergent token
     // stream here would silently decouple TF-IDF from the df/dedup view
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -187,9 +191,13 @@ object TextFunctions {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")))
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+    scored.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("tfidf"), col("term"), struct(col("tf"), col("df")), k).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("e"))
+      .select(col("doc_id"), col("e.key").as("term"),
+        col("e.payload.tf").as("tf"), col("e.payload.df").as("df"),
+        col("e.rnk").as("rnk"))
   }
 
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -204,7 +204,11 @@ object Exporters {
         // complete file and the last rename wins (both are byte-identical).
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
-        val tmp = s"$path.inprogress_$attempt"
+        // temp files live under outDir/_tmp (Spark consumers skip '_'-prefixed
+        // paths), so a killed attempt never leaves a stray .gml-adjacent file
+        // in the export directory; the driver sweeps _tmp after the job
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/_tmp"))
+        val tmp = s"$outDir/_tmp/$filePrefix$pid.gml.inprogress_$attempt"
         // partitions with no surface rows still carry geometry: synthesize
         // the LOD0 ground polygons from the footprints (what the v2 path's
         // exportCityGml fallback writes) so neither version ever emits a
@@ -223,7 +227,23 @@ object Exporters {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator.single(pid -> path)
       }
-      .collect().toSeq.sortBy(_._1) // O(#partitions) tiny manifest, not rows
+      .collect().toSeq.sortBy(_._1) match { // O(#partitions) tiny manifest, not rows
+        case manifest =>
+          // sweep orphaned temps from failed/killed attempts (best-effort:
+          // a concurrent export to the same outDir keeps its own temps)
+          val tmpDir = java.nio.file.Paths.get(s"$outDir/_tmp")
+          if (java.nio.file.Files.isDirectory(tmpDir)) {
+            val s = java.nio.file.Files.list(tmpDir)
+            try s.forEach { p =>
+              if (p.getFileName.toString.contains(".inprogress_"))
+                java.nio.file.Files.deleteIfExists(p)
+            } finally s.close()
+            // removes the dir only when empty (concurrent jobs keep it)
+            try java.nio.file.Files.delete(tmpDir)
+            catch { case _: java.io.IOException => () }
+          }
+          manifest
+      }
   }
 
   /**

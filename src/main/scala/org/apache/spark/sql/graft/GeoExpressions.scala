@@ -363,6 +363,13 @@ object GeoFunctionsImpl {
   /** Bounded ascending top-k of a long column — map-side combine (TopKAgg). */
   def long_topk(v: Column, k: Int): Column =
     column(LongTopKAgg(expression(v), k).toAggregateExpression())
+  /** Bounded top-k by (score desc, key asc) — map-side combine (TopKAgg). */
+  def topk_by(score: Column, key: Column, k: Int): Column =
+    column(TopKByAgg(expression(score), expression(key), None, k).toAggregateExpression())
+  /** [[topk_by]] carrying an opaque payload column per kept entry. */
+  def topk_by(score: Column, key: Column, payload: Column, k: Int): Column =
+    column(TopKByAgg(expression(score), expression(key), Some(expression(payload)), k)
+      .toAggregateExpression())
 
   /** Register for SQL use (`SELECT hex_encode(x, y, 9) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -376,6 +383,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("long_topk", LongTopKAgg.fromSql, "built-in")
+    reg.createOrReplaceTempFunction("topk_by", TopKByAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("freq_topk", FreqSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("kll_quantiles", QuantileSketchAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("hll_count", HllSketchAgg.fromSql, "built-in")

@@ -144,7 +144,10 @@ object SimHashKernel {
   def evalString(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new Array[Int](64)
-    text.toLowerCase.split(" ").foreach { w =>
+    // Locale.ROOT: the default-locale overload would make per-word hashes
+    // depend on the executor JVM's locale (Turkish 'I' → dotless i), silently
+    // diverging both across executors and from DuckDB lower() (q20 oracle)
+    text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { w =>
       if (w.nonEmpty) {
         md.reset()
         val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))

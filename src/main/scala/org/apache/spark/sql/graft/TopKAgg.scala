@@ -248,3 +248,183 @@ object LongTopKAgg {
     LongTopKAgg(es(0), k).toAggregateExpression()
   }
 }
+
+/** Mutable k-bounded set ordered by (score DESC, key ASC), with an optional
+  * opaque payload rider per entry. Same sorted-array shape as [[TopKBuffer]]. */
+final class TopKByBuffer(val k: Int) {
+  var n: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val keys: Array[UTF8String] = new Array[UTF8String](k)
+  val payloads: Array[Any] = new Array[Any](k)
+
+  private def beats(s: Double, key: UTF8String, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && key.compareTo(keys(i)) < 0)
+
+  /** `key0` may alias a reused row buffer — cloned iff kept. `payload` must
+    * already be an owned (copied) catalyst value. */
+  def insert(s: Double, key0: UTF8String, payload: Any): Unit = {
+    if (n == k && !beats(s, key0, k - 1)) return
+    val key = key0.clone()
+    var i = if (n < k) n else k - 1
+    while (i > 0 && beats(s, key, i - 1)) {
+      scores(i) = scores(i - 1); keys(i) = keys(i - 1); payloads(i) = payloads(i - 1)
+      i -= 1
+    }
+    scores(i) = s; keys(i) = key; payloads(i) = payload
+    if (n < k) n += 1
+  }
+
+  def mergeFrom(o: TopKByBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.keys(i), o.payloads(i)); i += 1 }
+  }
+}
+
+/**
+ * topk_by(score, key, k) / topk_by(score, key, payload, k) — the k entries a
+ * `row_number() OVER (PARTITION BY … ORDER BY score DESC, key ASC) <= k`
+ * window would keep, as a k-bounded map-side-combining aggregate: only
+ * k-entry buffers cross the shuffle, so the shuffle volume is
+ * candidate-count-independent (the window form shuffles AND sorts every
+ * candidate row per group — the exact shape q13 eliminated with long_topk;
+ * this is its (score, key[, payload]) generalization). Result:
+ * array<struct<key: string, score: double[, payload], rnk: int>> in rank
+ * order. `payload` is an arbitrary column (e.g. a struct of extra fields)
+ * carried alongside each kept entry, so callers don't need a join-back
+ * against the full candidate table to recover them.
+ */
+@ExpressionDescription(usage =
+  "topk_by(score, key[, payload], k) - bounded top-k by (score desc, key asc) with map-side combine")
+case class TopKByAgg(
+    scoreChild: Expression, keyChild: Expression,
+    payloadChild: Option[Expression], k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[TopKByBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(k >= 1, s"topk_by: k must be >= 1, got $k")
+
+  private def payloadType: DataType = payloadChild.map(_.dataType).getOrElse(NullType)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, StringType) ++ payloadChild.map(_ => AnyDataType)
+  override def children: Seq[Expression] = Seq(scoreChild, keyChild) ++ payloadChild
+  override def nullable: Boolean = false
+  override def dataType: DataType = {
+    val base = new StructType().add("key", StringType).add("score", DoubleType)
+    val withPayload = payloadChild match {
+      case Some(p) => base.add("payload", p.dataType, p.nullable)
+      case None => base
+    }
+    ArrayType(withPayload.add("rnk", IntegerType), containsNull = false)
+  }
+
+  override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer(k)
+
+  override def update(b: TopKByBuffer, input: InternalRow): TopKByBuffer = {
+    val s = scoreChild.eval(input)
+    val key = keyChild.eval(input)
+    if (s != null && key != null) {
+      // payload values can alias reused row buffers (UTF8String/InternalRow
+      // backed by the scan's UnsafeRow) — copyValue makes the buffer own them
+      val p = payloadChild match {
+        case Some(pc) => InternalRow.copyValue(pc.eval(input))
+        case None => null
+      }
+      b.insert(s.asInstanceOf[Double], key.asInstanceOf[UTF8String], p)
+    }
+    b
+  }
+
+  override def merge(b: TopKByBuffer, o: TopKByBuffer): TopKByBuffer = { b.mergeFrom(o); b }
+
+  override def eval(b: TopKByBuffer): Any = {
+    val hasPayload = payloadChild.isDefined
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) =
+        if (hasPayload) InternalRow(b.keys(i), b.scores(i), b.payloads(i), i + 1)
+        else InternalRow(b.keys(i), b.scores(i), i + 1)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  // payload (de)serialization rides an UnsafeProjection over the payload's
+  // actual dataType — works for any Spark SQL type without a custom codec
+  @transient private lazy val payloadProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Array(payloadType))
+
+  override def serialize(b: TopKByBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.n)
+    var i = 0
+    while (i < b.n) {
+      out.writeDouble(b.scores(i))
+      val kb = b.keys(i).getBytes
+      out.writeInt(kb.length); out.write(kb)
+      if (payloadChild.isDefined) {
+        if (b.payloads(i) == null) out.writeInt(-1)
+        else {
+          val ur = payloadProj(InternalRow(b.payloads(i)))
+          // write immediately: getBytes may alias the projection's reused buffer
+          val pb = ur.getBytes
+          out.writeInt(pb.length); out.write(pb)
+        }
+      }
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new TopKByBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val klen = in.readInt()
+      val kb = new Array[Byte](klen); in.readFully(kb)
+      var p: Any = null
+      if (payloadChild.isDefined) {
+        val plen = in.readInt()
+        if (plen >= 0) {
+          val pb = new Array[Byte](plen); in.readFully(pb)
+          val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+          row.pointTo(pb, plen)
+          p = InternalRow.copyValue(row.get(0, payloadType))
+        }
+      }
+      b.insert(s, UTF8String.fromBytes(kb), p)
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKByAgg =
+    copy(scoreChild = c(0), keyChild = c(1),
+      payloadChild = if (c.length > 2) Some(c(2)) else None)
+  override def prettyName: String = "topk_by"
+}
+
+object TopKByAgg {
+  /** SQL builder: topk_by(score, key[, payload], k), k a foldable int literal. */
+  def fromSql(es: Seq[Expression]): Expression = {
+    require(es.length == 3 || es.length == 4,
+      "topk_by(score, key[, payload], k) takes 3 or 4 arguments")
+    val k = es.last match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_by: k must be an integer literal, got $other")
+    }
+    val payload = if (es.length == 4) Some(es(2)) else None
+    TopKByAgg(es(0), es(1), payload, k).toAggregateExpression()
+  }
+}

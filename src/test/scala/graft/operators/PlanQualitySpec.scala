@@ -224,6 +224,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q13 should partial-aggregate long_topk buffers map-side:\n$plan")
   }
 
+  test("keep-best-per-cluster (q37) and tfidf (g8) are bounded aggregates — no Window, no Sort") {
+    // the last two row_number() windows on mandate paths, replaced by the
+    // k-bounded topk_by aggregate (map-side combine; the (tf, df) payload
+    // rides the buffer so tfidf needs no join-back against the full
+    // (doc, term) table). The window forms live on as oracle twins.
+    val noWindowNoSort = Seq(
+      "q37" -> graft.SparkEntry.queries("q37_dedup_keep_best")(spark, sf),
+      "g8" -> graft.functions.TextFunctions.tfidfTopTerms(
+        spark.read.parquet(s"$sf/documents.parquet")))
+    noWindowNoSort.foreach { case (name, q) =>
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("Window"), s"$name must not plan a Window:\n$plan")
+      assert(!plan.linesIterator.exists(_.matches(""".*(\+- |\*\(\d+\) |^)Sort \[.*""")),
+        s"$name must not sort candidate rows:\n$plan")
+      assert(plan.contains("partial_topk_by"),
+        s"$name should partial-aggregate topk_by buffers map-side:\n$plan")
+    }
+  }
+
   test("decontamination (q56) broadcasts the eval shingle set — no shuffle of training shingles") {
     // the eval corpus is small by definition; its distinct shingle set must
     // arrive as a BroadcastHashJoin build side, never force a sort-merge
