@@ -537,6 +537,43 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.repetitionColumns(col("text")): _*)),
 
+    "q60_gopher_rules" -> ((s, dir) => {
+      // the rest of the Gopher/MassiveText scan-local rule stack, gated on
+      // deterministically injected line structure (the corpus itself has no
+      // newlines/bullets — an injection-free run would prove nothing, the
+      // q57 lesson): every 5th doc gets a duplicated line + bullet +
+      // '#'/ellipsis tail, every 7th a bullet list + unicode ellipsis line
+      val txt = coalesce(col("text"), lit(""))
+      val injected = when(col("doc_id") % 5 === 0,
+          concat_ws("\n", substring(txt, 1, 40), substring(txt, 1, 40),
+            lit("• bullet point"), lit("trailing #tag and dots...")))
+        .when(col("doc_id") % 7 === 0,
+          concat(substring(txt, 1, 60), lit("\n- item one\n- item two\n… done…")))
+        .otherwise(txt)
+      t(s, dir, "documents").select(col("doc_id") +:
+        graft.functions.TextFunctions.gopherColumns(injected): _*)
+    }),
+    "q61_top_ngram_mass" -> ((s, dir) =>
+      // Gopher top-n-gram mass rule (n=2): per-doc argmax via the 1-bounded
+      // topk_by aggregate — no window, no per-doc sort; Σcnt + n − 1 gives
+      // total tokens out of the same aggregate, no join-back
+      graft.functions.TextFunctions.topNgramMass(t(s, dir, "documents"), n = 2)),
+    "q63_mixture_sample" -> ((s, dir) =>
+      // weighted per-source mixture sampling: downsample src0 to 50%,
+      // src7 to 25%, drop src19, keep the rest — deterministic
+      // content-derived accept set, scan-local, zero shuffle
+      graft.functions.TextFunctions.mixtureSample(t(s, dir, "documents"),
+        Map("src0" -> 0.5, "src7" -> 0.25, "src19" -> 0.0))
+        .select("doc_id", "source")),
+    "q62_decontaminate_exact" -> ((s, dir) => {
+      // exact-substring leakage check (anchor-gram candidates + substring
+      // verify) against the q56 eval slice — the GPT-3-style complement to
+      // q56's overlap fraction; the oracle replays the identical two-step
+      // anchor-then-position() contract
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.contaminationExact(docs, docs.where(col("doc_id") % 23 === 0))
+    }),
+
     "q59_bloom_semi" -> ((s, dir) => {
       // the Bloom pre-filter pattern under the hard gate: the big side is
       // filtered SCAN-LOCALLY by bloom_contains (bounded ~12 KB driver
@@ -1363,6 +1400,98 @@ object SparkEntry {
                      THEN 1.0::DOUBLE - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
                      ELSE 0.0::DOUBLE END AS rep_frac
          FROM g""",
+    "q60_gopher_rules" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id %% 5 = 0
+                       THEN substring(COALESCE(text, ''), 1, 40) || chr(10) ||
+                            substring(COALESCE(text, ''), 1, 40) || chr(10) ||
+                            '• bullet point' || chr(10) || 'trailing #tag and dots...'
+                       WHEN doc_id %% 7 = 0
+                       THEN substring(COALESCE(text, ''), 1, 60) || chr(10) ||
+                            '- item one' || chr(10) || '- item two' || chr(10) || '… done…'
+                       ELSE COALESCE(text, '') END AS t
+           FROM documents),
+         lx AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM inj)
+         SELECT doc_id,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(lines) > 1
+                     THEN 1.0::DOUBLE - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                     ELSE 0.0::DOUBLE END AS dup_line_frac,
+                CASE WHEN len(lines) > 1 AND length(array_to_string(lines, '')) > 0
+                     THEN 1.0::DOUBLE - CAST(length(array_to_string(list_distinct(lines), '')) AS DOUBLE)
+                          / CAST(length(array_to_string(lines, '')) AS DOUBLE)
+                     ELSE 0.0::DOUBLE END AS dup_char_frac,
+                CAST(len(regexp_extract_all(t, '#|\.\.\.|…')) AS DOUBLE)
+                  / CAST(len(string_split(t, ' ')) AS DOUBLE) AS symbol_ratio,
+                CAST(len(regexp_extract_all(t, '(?m)^[-*•]')) AS DOUBLE)
+                  / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+                CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS DOUBLE)
+                  / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
+         FROM lx""",
+    "q61_top_ngram_mass" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) >= 2
+                       THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                       ELSE [] END AS grams
+           FROM toks),
+         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2),
+         r AS (SELECT doc_id, gram, cnt,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn,
+                      sum(cnt) OVER (PARTITION BY doc_id) AS total
+               FROM c)
+         SELECT d.doc_id, r.gram AS top_gram, CAST(r.cnt AS BIGINT) AS top_cnt,
+                CASE WHEN r.cnt IS NOT NULL
+                     THEN CAST(r.cnt AS DOUBLE) * 2.0::DOUBLE
+                          / (CAST(r.total AS DOUBLE) + 1.0::DOUBLE)
+                     ELSE 0.0::DOUBLE END AS frac
+         FROM documents d
+         LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.doc_id = r.doc_id""",
+    "q63_mixture_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+                           md5(CAST(doc_id AS VARCHAR) || 'mix') AS hx
+                    FROM documents),
+         b AS (SELECT doc_id, source,
+                 CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+                      (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+                      (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+                      (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS DOUBLE) AS bucket
+               FROM h)
+         SELECT doc_id, source FROM b
+         WHERE bucket < CASE WHEN source = 'src0' THEN 0.5::DOUBLE
+                             WHEN source = 'src7' THEN 0.25::DOUBLE
+                             WHEN source = 'src19' THEN 0.0::DOUBLE
+                             ELSE 1.0::DOUBLE END * 65536.0::DOUBLE""",
+    "q62_decontaminate_exact" ->
+      """WITH evw AS (SELECT string_split(lower(text), ' ') AS w
+                      FROM documents WHERE doc_id %% 23 = 0),
+         pass AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                          w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+                          FOR i IN range(1, len(w) - 6)]
+                    ELSE [] END) AS passage FROM evw),
+         pa AS (SELECT passage,
+                       array_to_string((string_split(passage, ' '))[1:3], ' ') AS gram
+                FROM pass),
+         tw AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt,
+                       string_split(lower(text), ' ') AS w
+                FROM documents),
+         tg AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(w) >= 3
+                         THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+                         ELSE [] END) AS gram
+                FROM tw),
+         cand AS (SELECT DISTINCT tg.doc_id, pa.passage FROM tg JOIN pa USING (gram)),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM cand c JOIN tw ON c.doc_id = tw.doc_id
+                  WHERE position(c.passage IN tw.lt) > 0
+                  GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+                COALESCE(h.n_hit, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
     "q59_bloom_semi" ->
       """SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
          FROM lineitem

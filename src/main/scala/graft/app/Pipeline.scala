@@ -70,8 +70,11 @@ object Pipeline {
              minJaccard: Double = 0.5,
              scrubPii: Boolean = false,
              maxRepetition: Double = 1.0,
+             maxDupLineFrac: Option[Double] = None,
+             maxSymbolRatio: Option[Double] = None,
              evalDocs: Option[DataFrame] = None,
-             maxContamination: Double = 0.2): DataFrame = {
+             maxContamination: Double = 0.2,
+             exactDecontamination: Boolean = false): DataFrame = {
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -81,11 +84,23 @@ object Pipeline {
       if (scrubPii)
         rows.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
       else rows
-    val repGated =
+    val repGated0 =
       if (maxRepetition < 1.0)
         scrubbed.where(
           graft.functions.TextFunctions.repetitionFrac(col(textCol)) <= maxRepetition)
       else scrubbed
+    // optional Gopher scan-local rules (q60 pack) — same inclusive-threshold
+    // convention; each adds only a codegen'd filter on the scan, no shuffle
+    val dupGated = maxDupLineFrac match {
+      case Some(m) => repGated0.where(
+        graft.functions.TextFunctions.dupLineFrac(col(textCol)) <= m)
+      case None => repGated0
+    }
+    val repGated = maxSymbolRatio match {
+      case Some(m) => dupGated.where(
+        graft.functions.TextFunctions.symbolRatio(col(textCol)) <= m)
+      case None => dupGated
+    }
     val gated = evalDocs match {
       case Some(ev) =>
         // the eval side must see the SAME normalization as the training
@@ -96,8 +111,16 @@ object Pipeline {
           if (scrubPii)
             ev.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
           else ev
-        val clean = graft.operators.Dedup.contamination(repGated, evNorm, idCol, textCol)
-          .where(col("frac") <= maxContamination).select(col(idCol))
+        // two standard leakage checks, caller's choice: n-gram overlap
+        // fraction vs `maxContamination` (q56), or exact-substring — ANY
+        // eval passage occurring verbatim drops the doc (q62)
+        val clean =
+          if (exactDecontamination)
+            graft.operators.Dedup.contaminationExact(repGated, evNorm, idCol, textCol)
+              .where(!col("contaminated")).select(col(idCol))
+          else
+            graft.operators.Dedup.contamination(repGated, evNorm, idCol, textCol)
+              .where(col("frac") <= maxContamination).select(col(idCol))
         repGated.join(clean, Seq(idCol), "left_semi")
       case None => repGated
     }
@@ -107,8 +130,11 @@ object Pipeline {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.Dedup.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")
+    // coalesce: topk_by skips null-score rows, but a null-text doc that is
+    // its own cluster must still keep itself (the window form kept it)
     val quality = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.qualityColumns(col("text")).last)
+      coalesce(graft.functions.TextFunctions.qualityColumns(col("text")).last,
+        lit(Double.MinValue)).as("quality"))
     val labeled = quality.join(cc, Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("root"), col("doc_id")))
     // per-cluster argmax (quality desc, id asc) via the 1-bounded topk_by
@@ -131,13 +157,18 @@ object Pipeline {
           outTable: String, zoom: Int = 20, nBuckets: Int = 16,
           curate: Boolean = false,
           scrubPii: Boolean = false, maxRepetition: Double = 1.0,
+          maxDupLineFrac: Option[Double] = None,
+          maxSymbolRatio: Option[Double] = None,
           evalDocs: Option[DataFrame] = None,
-          maxContamination: Double = 0.2): (Int, Int, Int) = {
+          maxContamination: Double = 0.2,
+          exactDecontamination: Boolean = false): (Int, Int, Int) = {
     val images = spark.read.parquet(imagesDir)
     val (input, keep) =
       if (curate)
         (this.curate(images, scrubPii = scrubPii, maxRepetition = maxRepetition,
-          evalDocs = evalDocs, maxContamination = maxContamination), Seq("split"))
+          maxDupLineFrac = maxDupLineFrac, maxSymbolRatio = maxSymbolRatio,
+          evalDocs = evalDocs, maxContamination = maxContamination,
+          exactDecontamination = exactDecontamination), Seq("split"))
       else (images, Nil)
     val enriched = enrich(input, polys, zoom = zoom, nBuckets = nBuckets, keepCols = keep)
     val (written, skipped) = IceLite.writeResumable(enriched, outTable, "bucket")

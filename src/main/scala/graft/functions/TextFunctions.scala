@@ -117,6 +117,42 @@ object TextFunctions {
       .otherwise("test")
   }
 
+  /**
+   * Weighted mixture sampling — the per-source data-mixture knob every
+   * pretraining run tunes (e.g. upsample books, downsample common-crawl):
+   * keep a row with probability `weights(source)` (sources absent from the
+   * map keep `defaultWeight`), decided by a content-derived md5 bucket over
+   * the row id — the q38/q45 mechanism, so the accept set is deterministic,
+   * partition/cluster-size independent and byte-stable across reruns, and
+   * the filter is scan-local (zero shuffle, no RNG state). `salt`
+   * decorrelates the sampling hash from [[hashSplit]]'s (the same digest
+   * would correlate mixture acceptance with the train/val/test split).
+   * Bucket = first 16 bits of md5(id||salt) vs floor-free `w * 65536`
+   * double compare — 1/65536 weight resolution, exact on both engines
+   * (q63 oracle).
+   */
+  def mixtureFilter(id: Column, source: Column, weights: Map[String, Double],
+                    defaultWeight: Double = 1.0, salt: String = "mix"): Column = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
+      s"mixture weights must be in [0, 1], got $weights / default $defaultWeight")
+    val bucket = conv(substring(
+      md5(concat(id.cast("string"), lit(salt)).cast("binary")), 1, 4), 16, 10)
+      .cast("long").cast("double")
+    // sorted: a stable when-chain, so the plan (and its checksum) doesn't
+    // depend on Map iteration order
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(source === s, lit(wt)).otherwise(acc)
+    }
+    bucket < w * lit(65536.0)
+  }
+
+  /** [[mixtureFilter]] applied: the surviving rows of `docs`. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    defaultWeight: Double = 1.0,
+                    idCol: String = "doc_id", srcCol: String = "source",
+                    salt: String = "mix"): DataFrame =
+    docs.where(mixtureFilter(col(idCol), col(srcCol), weights, defaultWeight, salt))
+
   /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)
@@ -157,6 +193,81 @@ object TextFunctions {
   /** Just the repeated-n-gram fraction (for filters/gates). */
   def repetitionFrac(textCol: Column, n: Int = 3): Column =
     repetitionColumns(textCol, n).last
+
+  /**
+   * Gopher/MassiveText quality-rule pack beyond the repeated-n-gram rule
+   * (q58): duplicate-line fraction + duplicate-line CHARACTER fraction
+   * (boilerplate navigation/footer text repeats whole lines), symbol-to-word
+   * ratio ('#' and ellipsis — templated/spammy markup), and the fraction of
+   * lines that start with a bullet or end in an ellipsis (list-shaped pages
+   * that read poorly as prose). All scan-local built-ins (split/array_distinct/
+   * concat_ws/regexp_count — codegen'd, zero shuffle); the regexes use only
+   * constructs with identical Java-regex/RE2 semantics, so the whole pack is
+   * DuckDB-oracle-checked (q60) on deterministically injected structure.
+   * Conventions: null text == ""; a single-line doc scores 0 on the line
+   * rules; `n_words` is the space-split token count shared with [[tokens]].
+   */
+  def gopherColumns(textCol: Column): Seq[Column] = {
+    val t = coalesce(textCol, lit(""))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val dupLineFrac = when(nLines > 1,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines.cast("double"))
+      .otherwise(lit(0.0))
+    // sum of line lengths via concat_ws — order-independent, no per-element
+    // higher-order function (HOFs are interpreted per element on the scan)
+    val allChars = length(concat_ws("", lines)).cast("double")
+    val dupCharFrac = when(nLines > 1 && allChars > 0.0,
+      lit(1.0) - length(concat_ws("", array_distinct(lines))).cast("double") / allChars)
+      .otherwise(lit(0.0))
+    val nWords = size(split(t, " ")).cast("double") // >= 1 (split min one token)
+    val symbolRatio = regexp_count(t, lit("#|\\.\\.\\.|…")).cast("double") / nWords
+    val bulletFrac = regexp_count(t, lit("(?m)^[-*•]")).cast("double") / nLines.cast("double")
+    val ellipsisFrac =
+      regexp_count(t, lit("(?m)(\\.\\.\\.|…)$")).cast("double") / nLines.cast("double")
+    Seq(nLines.as("n_lines"), dupLineFrac.as("dup_line_frac"),
+      dupCharFrac.as("dup_char_frac"), symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"), ellipsisFrac.as("ellipsis_line_frac"))
+  }
+
+  /** Just the duplicate-line fraction (for filters/gates). */
+  def dupLineFrac(textCol: Column): Column = gopherColumns(textCol)(1)
+  /** Just the symbol-to-word ratio (for filters/gates). */
+  def symbolRatio(textCol: Column): Column = gopherColumns(textCol)(3)
+
+  /**
+   * Top-n-gram mass (the remaining Gopher repetition rule, one per n): the
+   * fraction of the document's tokens covered by occurrences of its single
+   * most frequent word n-gram, ties broken by gram ascending — high values
+   * flag a doc dominated by one repeated phrase. Needs a per-doc frequency
+   * table, so unlike [[gopherColumns]] it is a groupBy pair, with the argmax
+   * taken by the 1-bounded `topk_by` aggregate (map-side combine, no per-doc
+   * sort or window). total tokens = Σcnt + n − 1 falls out of the same
+   * aggregate — no join-back against the doc table. Gramless docs (shorter
+   * than n tokens) report (null, null, 0.0). DuckDB-oracle-checked (q61).
+   */
+  def topNgramMass(docs: DataFrame, n: Int = 2,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"topNgramMass: n must be >= 2 (n=1 is plain mode), got $n")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode_outer(org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
+        coalesce(col(textCol), lit("")), lit(n))).as("gram"))
+    // count(gram) not count(*): the explode_outer null-gram row (gramless
+    // doc) must count 0, not 1
+    val cnt = grams.groupBy("doc_id", "gram").agg(count(col("gram")).as("cnt"))
+    val top = cnt.groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("cnt").cast("double"), col("gram"), 1).as("top"),
+        sum(col("cnt")).as("total"))
+    val e = try_element_at(col("top"), lit(1))
+    top.select(col("doc_id"),
+      e.getField("key").as("top_gram"),
+      e.getField("score").cast("long").as("top_cnt"),
+      when(col("total") > 0L,
+        e.getField("score") * lit(n.toDouble) /
+          (col("total").cast("double") + lit((n - 1).toDouble)))
+        .otherwise(lit(0.0)).as("frac"))
+  }
 
   /**
    * TF-IDF keyword extraction: the top-k terms of each document by

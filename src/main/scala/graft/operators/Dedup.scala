@@ -178,6 +178,51 @@ object Dedup {
           .otherwise(lit(0.0)).as("frac"))
   }
 
+  /**
+   * Exact-substring decontamination — the GPT-3-style leakage check
+   * complementing the n-gram-OVERLAP fraction of [[contamination]]: a
+   * training document is flagged when its lowercased text CONTAINS one of
+   * the eval corpus's n-token passages as an exact substring. Contract
+   * (replayed verbatim by the q62 DuckDB oracle): a candidate (doc, passage)
+   * pair exists iff one of the doc's own `anchorN`-grams equals the
+   * passage's leading `anchorN`-gram (so occurrences are found at
+   * token-aligned anchors — a passage hiding at a mid-token offset, e.g.
+   * "…monkey agg…" vs "key agg", is by design not a hit on either engine);
+   * candidates are then verified with a raw substring scan.
+   *
+   * Scale shape: eval is small by definition → the distinct passage set
+   * (keyed by anchor gram) broadcasts; the training side explodes its
+   * distinct anchor grams through the one-pass codegen kernel — the q56
+   * shape — and only the rare anchor-hit candidates re-attach text for the
+   * verify scan (AQE broadcasts the candidate side in the normal case), so
+   * training text never shuffles. Output: (doc_id, n_hit, contaminated).
+   */
+  def contaminationExact(docs: DataFrame, evalDocs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8, anchorN: Int = 3): DataFrame = {
+    require(n >= anchorN && anchorN >= 1,
+      s"need n >= anchorN >= 1, got (n=$n, anchorN=$anchorN)")
+    val sm: (Column, Int) => Column = (t, k) =>
+      org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
+        coalesce(t, lit("")), lit(k))
+    val passages = evalDocs.select(explode(sm(col(textCol), n)).as("passage")).distinct()
+      .withColumn("gram",
+        concat_ws(" ", slice(split(col("passage"), " "), 1, anchorN)))
+    val trainGrams = docs.select(col(idCol).as("id"),
+      explode(array_distinct(sm(col(textCol), anchorN))).as("gram"))
+    val cands = trainGrams.join(broadcast(passages), Seq("gram"))
+      .select("id", "passage").distinct()
+    val verified = cands
+      .join(docs.select(col(idCol).as("id"),
+        lower(coalesce(col(textCol), lit(""))).as("__lt")), Seq("id"))
+      .where(instr(col("__lt"), col("passage")) > 0)
+      .groupBy("id").agg(count(lit(1)).as("n_hit")) // cands already distinct
+    docs.select(col(idCol))
+      .join(verified.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
   def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
     val tok = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }
@@ -343,16 +388,33 @@ object Dedup {
     val edges0 = ck(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct())
+    // inter-pass distinct threshold: in a k-clique large-star emits each
+    // (v, min) edge ~k times, so ABOVE the threshold the dedup shuffle is k×
+    // smaller than the small-star join it feeds — worth a round-trip. BELOW
+    // it (small graphs / late rounds, where near-convergent stars emit few
+    // duplicates) the extra exchange costs more than the duplicates it
+    // removes: small-star's groupBy(min) and the round-final distinct are
+    // duplicate-insensitive, so skipping is a pure plan change, not a
+    // semantic one (DedupAnnSpec asserts identical components and the same
+    // round bound on both sides of the threshold).
+    val interDistinctMinEdges = {
+      val raw = pairs.sparkSession.conf.get(
+        "spark.graft.cc.interDistinctMinEdges", (1L << 22).toString)
+      val v = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.cc.interDistinctMinEdges must be a long, got '$raw'")
+      }
+      require(v >= 0, s"spark.graft.cc.interDistinctMinEdges must be >= 0, got $v")
+      v
+    }
     var edges = edges0.where(col("u") =!= col("v"))
     var sig = checksum(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
-      // dedup BETWEEN the passes too: in a k-clique large-star emits each
-      // (v, min) once per smaller neighbour (~k duplicates per edge), and
-      // near-dup components are cliquish — the extra shuffle is k× smaller
-      // than the small-star join it feeds
-      edges = ck(smallStar(largeStar(edges).distinct()).distinct())
+      val ls = largeStar(edges)
+      val lsDeduped = if (sig._1 >= interDistinctMinEdges) ls.distinct() else ls
+      edges = ck(smallStar(lsDeduped).distinct())
       rounds += 1
       val nsig = checksum(edges)
       // the min-rooted star state is the unique fixed point of a round, so

@@ -106,6 +106,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain.length === 40)
   }
 
+  test("gopher gates: duplicate-line and symbol-ratio rules drop flagged rows") {
+    val rows = (0L until 20L).map { i =>
+      val cap = i match {
+        // 3 of 4 lines are the same line → dup_line_frac = 0.5
+        case 0 => "same line here\nsame line here\nsame line here\nother line"
+        // 4 symbols over 8 words → symbol_ratio = 0.5
+        case 1 => "buy now ### cheap deals ... click here"
+        case _ => s"plain caption number $i with words a$i b$i c$i d$i e$i"
+      }
+      (f"img_$i%010d", cap, 457840.0 + i * 0.01, 5439081.0)
+    }.toDF("image_id", "caption", "x", "y")
+    val curated = Pipeline.curate(rows,
+      maxDupLineFrac = Some(0.3), maxSymbolRatio = Some(0.2))
+      .select("image_id").as[String].collect().toSet
+    assert(!curated.contains(f"img_${0L}%010d"), "dup-line gate must drop the boilerplate doc")
+    assert(!curated.contains(f"img_${1L}%010d"), "symbol-ratio gate must drop the spammy doc")
+    assert((2L until 20L).forall(i => curated.contains(f"img_$i%010d")),
+      "clean rows must survive the gopher gates")
+    // gates off: both flagged rows survive
+    val plain = Pipeline.curate(rows).select("image_id").as[String].collect()
+    assert(plain.length === 20)
+  }
+
   test("curated pipeline end to end: resumable, duplicates dropped, split byte-stable") {
     val table = java.nio.file.Files.createTempDirectory("pipe_cur_out").toString + "/cur"
     val images = spark.read.parquet(curatedImagesDir)

@@ -102,6 +102,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("contaminationExact: planted verbatim passages flagged; near-miss and mid-token not") {
+    // exactly 8 tokens → exactly ONE passage (= the whole eval text), so
+    // each train doc exercises exactly one branch of the contract
+    val evalDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy"))
+      .toDF("doc_id", "text")
+    val trainDocs = Seq[(java.lang.Long, String)](
+      // contains the 8-token passage verbatim (token-aligned) → hit
+      (1L, "intro words the quick brown fox jumps over the lazy trailing"),
+      // shares the anchor 3-gram (candidate!) but diverges before token 8 →
+      // the substring verify rejects it
+      (2L, "the quick brown fox jumps over the hungry dog tonight"),
+      // anchor contract: the passage appears only at a mid-token offset
+      // ("wordsthe quick…" has no token-aligned "the quick brown" 3-gram)
+      // → never a candidate, not flagged on either engine
+      (3L, "wordsthe quick brown fox jumps over the lazy"),
+      (4L, "completely unrelated content about something else entirely okay"),
+      (5L, null),
+      (6L, "a b") // too short for an anchor gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationExact(trainDocs, evalDocs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L)._2 === false,
+      "mid-token occurrence must not be a hit (token-aligned anchor contract)")
+    assert(got(4L) === ((0L, false)))
+    assert(got(5L) === ((0L, false)))
+    assert(got(6L) === ((0L, false)))
+  }
+
   test("repetition columns: null text reports (0, 0, 0.0), repeated grams counted") {
     val docs = Seq[(java.lang.Long, String)](
       (1L, "x y x y x y x y"), // 6 grams, 2 distinct -> rep 2/3
@@ -277,6 +308,16 @@ class DedupAnnSpec extends AnyFunSuite {
     val wantSizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(cs === wantSizes)
     assert(cs(1000L) === 40L)
+    // both sides of the inter-pass-distinct threshold converge to identical
+    // labels within the same round bound (the skip is a plan change only):
+    // the default run above took the skip path (test graphs are far below
+    // 2^22 edges); threshold 0 forces the always-distinct path
+    spark.conf.set("spark.graft.cc.interDistinctMinEdges", "0")
+    try {
+      val (labels2, rounds2) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
+      assert(labels2.as[(Long, Long)].collect().toMap === want)
+      assert(rounds2 <= 12, s"always-distinct star CC took $rounds2 rounds")
+    } finally spark.conf.unset("spark.graft.cc.interDistinctMinEdges")
   }
 
   test("embedding near-dup: planted duplicate vectors found") {
