@@ -30,14 +30,32 @@ object Pipeline {
 
   /** Enriched-row plan: cell key, PIP feature, nearest centroid, tile.
     * `keepCols` carries extra upstream columns (e.g. the curation `split`)
-    * through the enrichment untouched. */
+    * through the enrichment untouched.
+    *
+    * PIP physical path: [[PipJoin.auto]] picks by total polygon vertex
+    * count — the plan-reference codegen `exprJoin` for the north-star shape
+    * (≤100s of footprints vs 10^12 points), the broadcast cell-join when
+    * the set is plan-too-big but broadcast-fits, the salted SMJ beyond
+    * that — so the entry point is safe by default when someone feeds it a
+    * continent's worth of footprints. Thresholds (total vertices):
+    * `spark.graft.pipeline.pipExprVertexLimit` (default 100k) /
+    * `spark.graft.pipeline.pipBroadcastVertexLimit` (default 5M). */
   def enrich(images: DataFrame, polys: Seq[Footprint],
              zoom: Int = 20, k: Int = 1, nBuckets: Int = 16,
              keepCols: Seq[String] = Nil): DataFrame = {
     val centroids = polys.map(f => (f.feature_id, f.centroid.x, f.centroid.y))
     val nn = new graft.operators.KnnIndex(centroids, k)
-    val enriched = PipJoin.exprJoin(
-        images.select((Seq("image_id", "x", "y") ++ keepCols).map(col): _*), polys)
+    def intConf(key: String, dflt: Int): Int = {
+      val raw = images.sparkSession.conf.get(key, dflt.toString)
+      try raw.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be an int, got '$raw'")
+      }
+    }
+    val enriched = PipJoin.auto(
+        images.select((Seq("image_id", "x", "y") ++ keepCols).map(col): _*), polys,
+        exprLimit = intConf("spark.graft.pipeline.pipExprVertexLimit", 100000),
+        broadcastLimit = intConf("spark.graft.pipeline.pipBroadcastVertexLimit", 5000000))
       .withColumn("cell", graft.functions.GeoFunctions.hex_encode(
         col("x"), col("y"), lit(PipJoin.DefaultRes)))
       .withColumn("tile_id", graft.functions.GeoFunctions.tile_of(

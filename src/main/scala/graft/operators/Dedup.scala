@@ -100,15 +100,29 @@ object Dedup {
    * shape: band-key equi-join on ids only, oversized buckets capped out,
    * exact token-Jaccard verify per distinct candidate pair.
    */
+  /** `multiprobe`: per band, also emit the r leave-one-out keys
+    * ([[org.apache.spark.sql.graft.MinHashKernel.bandsMp]]) — an r−1-of-r
+    * band agreement still collides, lifting per-band recall from j^r to
+    * j^r + r·j^(r−1)(1−j) at unchanged hashing cost and (r+1)× bucket rows
+    * (the posexplode position IS the (band, probe) join key). More (lower-j)
+    * candidates reach the exact-Jaccard verify — the standard multiprobe
+    * recall/candidate-volume trade, S-curve-tested in DedupAnnSpec. */
   def lshPairsBanded(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      bands: Int = 16, rows: Int = 4, ngram: Int = 3,
-                     minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                     minJaccard: Double = 0.5, maxBucket: Int = 1000,
+                     multiprobe: Boolean = false): DataFrame = {
     require(bands >= 1 && rows >= 1, s"need bands, rows >= 1; got ($bands, $rows)")
+    require(!multiprobe || rows >= 2,
+      "multiprobe needs rows >= 2 (a leave-one-out of a 1-row band is the constant key)")
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
+    val keys =
+      if (multiprobe) org.apache.spark.sql.graft.TextFunctionsImpl.minhash_bands_mp(
+        col(textCol), lit(ngram), lit(bands), lit(rows))
+      else org.apache.spark.sql.graft.TextFunctionsImpl.minhash_bands(
+        col(textCol), lit(ngram), lit(bands), lit(rows))
     val buckets0 = docs.select(col(idCol).as("id"),
-      posexplode(org.apache.spark.sql.graft.TextFunctionsImpl.minhash_bands(
-        col(textCol), lit(ngram), lit(bands), lit(rows))).as(Seq("band", "bucket")))
+      posexplode(keys).as(Seq("band", "bucket")))
     jaccardVerify(bandCandidates(buckets0, maxBucket), toks, minJaccard)
   }
 

@@ -186,64 +186,101 @@ object Exporters {
       filePrefix: String = "part_", version: String = "v2"): Seq[(Int, String)] = {
     require(version == "v2" || version == "v3",
       s"exportCityGmlDistributed: version must be v2 or v3, got '$version'")
-    val spark = buildings.sparkSession
-    import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    buildings.groupByKey(_.partition_id)
-      .cogroup(surfaces.groupByKey(_.partition_id)) { (pid, bs, ss) =>
-        // deterministic file bytes: features ordered by id, surfaces by
-        // (feature, surface, poly) — cogroup iterator order is not stable
-        val bSorted = bs.toSeq.sortBy(_.feature_id)
-        val sSorted = ss.toSeq.sortBy(p => (p.feature_id, p.surface_id, p.poly_id))
-        val path = s"$outDir/$filePrefix$pid.gml"
-        // task-commit protocol: write to an attempt-private temp file, then
-        // atomic-rename into place. Without this, a speculative/retried task
-        // attempt would interleave buffered writes with a zombie first
-        // attempt on the SAME shared-storage path — a torn file under a
-        // succeeding job. With it, concurrent attempts each produce a
-        // complete file and the last rename wins (both are byte-identical).
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
-        // temp files live under outDir/_tmp (Spark consumers skip '_'-prefixed
-        // paths), so a killed attempt never leaves a stray .gml-adjacent file
-        // in the export directory; the driver sweeps _tmp after the job
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/_tmp"))
-        val tmp = s"$outDir/_tmp/$filePrefix$pid.gml.inprogress_$attempt"
+    exportDistributed(buildings, surfaces, outDir, filePrefix, ".gml") {
+      (bSorted, sSorted, tmp) =>
         // partitions with no surface rows still carry geometry: synthesize
         // the LOD0 ground polygons from the footprints (what the v2 path's
         // exportCityGml fallback writes) so neither version ever emits a
         // Building with attributes and zero geometry
-        val sFor = if (sSorted.nonEmpty) sSorted else bSorted.map { f =>
-          SurfacePoly(f.feature_id, s"${f.feature_id}_ground", "GroundSurface",
-            f.partition_id, s"${f.feature_id}_ground_poly",
-            f.ring.map(xy => XYZ(xy.x, xy.y, f.env.minz)),
-            f.holes.map(_.map(xy => XYZ(xy.x, xy.y, f.env.minz))))
+        if (version == "v3") {
+          val sFor = if (sSorted.nonEmpty) sSorted else groundPolys(bSorted)
+          exportCityGmlV3Full(bSorted, sFor, tmp, bbox, srs)
         }
-        if (version == "v3") exportCityGmlV3Full(bSorted, sFor, tmp, bbox, srs)
         else if (sSorted.nonEmpty) exportCityGmlFull(bSorted, sSorted, tmp, bbox, srs)
         else exportCityGml(bSorted, tmp, bbox, srs)
+    }
+  }
+
+  /**
+   * Distributed CityJSON sink — the S8 (precision-3 quantization,
+   * `CityJSONDB.java:118-121`) twin of [[exportCityGmlDistributed]]: one
+   * `part_<pid>.city.json` per partition through the same cogroup +
+   * task-commit writer, byte-deterministic (features/surfaces sorted) and
+   * individually re-ingestable; vertex indices are per-file, which is what
+   * CityJSON requires anyway.
+   */
+  def exportCityJsonDistributed(
+      buildings: org.apache.spark.sql.Dataset[Footprint],
+      surfaces: org.apache.spark.sql.Dataset[SurfacePoly],
+      outDir: String, srs: String = "",
+      filePrefix: String = "part_"): Seq[(Int, String)] =
+    exportDistributed(buildings, surfaces, outDir, filePrefix, ".city.json") {
+      (bSorted, sSorted, tmp) =>
+        if (sSorted.nonEmpty) exportCityJsonFull(bSorted, sSorted, tmp, srs)
+        else exportCityJson(bSorted, tmp, srs)
+    }
+
+  /** LOD0 ground polygons synthesized from footprints (fallback geometry). */
+  private def groundPolys(bSorted: Seq[Footprint]): Seq[SurfacePoly] =
+    bSorted.map { f =>
+      SurfacePoly(f.feature_id, s"${f.feature_id}_ground", "GroundSurface",
+        f.partition_id, s"${f.feature_id}_ground_poly",
+        f.ring.map(xy => XYZ(xy.x, xy.y, f.env.minz)),
+        f.holes.map(_.map(xy => XYZ(xy.x, xy.y, f.env.minz))))
+    }
+
+  /** Shared cogroup-per-partition task-commit writer behind the distributed
+    * CityGML/CityJSON sinks: sorts features by id and surfaces by (feature,
+    * surface, poly) for byte determinism (cogroup iterator order is not
+    * stable), writes through `writeFile` to an attempt-private temp under
+    * `outDir/_tmp`, atomic-renames into place, and sweeps leftover temps.
+    * The temp+rename is the task-commit protocol: a speculative/retried
+    * attempt would otherwise interleave buffered writes with a zombie first
+    * attempt on the SAME shared-storage path — a torn file under a
+    * succeeding job; with it, concurrent attempts each produce a complete
+    * file and the last rename wins (both are byte-identical). `outDir` must
+    * be shared storage on a real cluster (the usual file-sink contract). */
+  private def exportDistributed(
+      buildings: org.apache.spark.sql.Dataset[Footprint],
+      surfaces: org.apache.spark.sql.Dataset[SurfacePoly],
+      outDir: String, filePrefix: String, ext: String)(
+      writeFile: (Seq[Footprint], Seq[SurfacePoly], String) => Unit): Seq[(Int, String)] = {
+    val spark = buildings.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val manifest = buildings.groupByKey(_.partition_id)
+      .cogroup(surfaces.groupByKey(_.partition_id)) { (pid, bs, ss) =>
+        val bSorted = bs.toSeq.sortBy(_.feature_id)
+        val sSorted = ss.toSeq.sortBy(p => (p.feature_id, p.surface_id, p.poly_id))
+        val path = s"$outDir/$filePrefix$pid$ext"
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageAttemptNumber}_${tc.taskAttemptId}").getOrElse("driver")
+        // temps live under outDir/_tmp (Spark consumers skip '_'-prefixed
+        // paths), so a killed attempt never leaves a stray export-adjacent
+        // file in the output directory; the driver sweeps _tmp after the job
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/_tmp"))
+        val tmp = s"$outDir/_tmp/$filePrefix$pid$ext.inprogress_$attempt"
+        writeFile(bSorted, sSorted, tmp)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Iterator.single(pid -> path)
       }
-      .collect().toSeq.sortBy(_._1) match { // O(#partitions) tiny manifest, not rows
-        case manifest =>
-          // sweep orphaned temps from failed/killed attempts (best-effort:
-          // a concurrent export to the same outDir keeps its own temps)
-          val tmpDir = java.nio.file.Paths.get(s"$outDir/_tmp")
-          if (java.nio.file.Files.isDirectory(tmpDir)) {
-            val s = java.nio.file.Files.list(tmpDir)
-            try s.forEach { p =>
-              if (p.getFileName.toString.contains(".inprogress_"))
-                java.nio.file.Files.deleteIfExists(p)
-            } finally s.close()
-            // removes the dir only when empty (concurrent jobs keep it)
-            try java.nio.file.Files.delete(tmpDir)
-            catch { case _: java.io.IOException => () }
-          }
-          manifest
-      }
+      .collect().toSeq.sortBy(_._1) // O(#partitions) tiny manifest, not rows
+    // sweep orphaned temps from failed/killed attempts (best-effort: a
+    // concurrent export to the same outDir keeps its own temps)
+    val tmpDir = java.nio.file.Paths.get(s"$outDir/_tmp")
+    if (java.nio.file.Files.isDirectory(tmpDir)) {
+      val s = java.nio.file.Files.list(tmpDir)
+      try s.forEach { p =>
+        if (p.getFileName.toString.contains(".inprogress_"))
+          java.nio.file.Files.deleteIfExists(p)
+      } finally s.close()
+      // removes the dir only when empty (concurrent jobs keep it)
+      try java.nio.file.Files.delete(tmpDir)
+      catch { case _: java.io.IOException => () }
+    }
+    manifest
   }
 
   /**

@@ -401,5 +401,7 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("simhash64", es => SimHashExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands",
       es => MinHashBandsExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands_mp",
+      es => MinHashBandsMpExpr(es(0), es(1), es(2), es(3)), "built-in")
   }
 }

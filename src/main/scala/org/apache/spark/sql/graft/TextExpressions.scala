@@ -250,6 +250,60 @@ object MinHashKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /**
+   * Multiprobe variant: per band, the full r-row key PLUS r leave-one-out
+   * keys (rows minus one, in row order) — a pair agreeing on any r−1 of a
+   * band's r permutations then still collides (in the probe slot that drops
+   * the disagreeing row), lifting per-band recall from j^r to
+   * j^r + r·j^(r−1)(1−j) at (r+1)× bucket keys and UNCHANGED b×r hashing
+   * cost (the minima are computed once; the ANN-LSH multiprobe idea applied
+   * to MinHash banding). Layout: band b's keys occupy positions
+   * b·(r+1) .. b·(r+1)+r, so a posexplode position is the (band, probe)
+   * join key and identical layouts align across documents.
+   */
+  def bandsMp(text: UTF8String, n: Int, bands: Int, rows: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val perms = bands * rows
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val base = baseHash(sb)
+      var p = 0
+      while (p < perms) {
+        val h = mix64(base ^ mix64(0x9e3779b97f4a7c15L * (p + 1)))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands * (rows + 1))
+    var b = 0
+    while (b < bands) {
+      var acc = 0x9e3779b97f4a7c15L
+      var r = 0
+      while (r < rows) { acc = mix64(acc ^ mins(b * rows + r)); r += 1 }
+      out(b * (rows + 1)) = acc
+      var d = 0
+      while (d < rows) {
+        var a2 = 0x2545f4914f6cdd1dL // distinct seed; slots are disjoint anyway
+        var r2 = 0
+        while (r2 < rows) { if (r2 != d) a2 = mix64(a2 ^ mins(b * rows + r2)); r2 += 1 }
+        out(b * (rows + 1) + 1 + d) = a2
+        d += 1
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** minhash_bands(text, n, bands, rows) → array<bigint> of band keys. */
@@ -269,6 +323,26 @@ case class MinHashBandsExpr(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
   override def prettyName: String = "minhash_bands"
+}
+
+/** minhash_bands_mp(text, n, bands, rows) → array<bigint> of band keys with
+  * leave-one-out multiprobe slots (see [[MinHashKernel.bandsMp]]). */
+case class MinHashBandsMpExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType, IntegerType)
+  override def nullSafeEval(t: Any, n: Any, b: Any, r: Any): Any =
+    MinHashKernel.bandsMp(t.asInstanceOf[UTF8String], n.asInstanceOf[Int],
+      b.asInstanceOf[Int], r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, b, r) =>
+      s"org.apache.spark.sql.graft.MinHashKernel.bandsMp($t, $n, $b, $r)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "minhash_bands_mp"
 }
 
 /** lang_id(text) — codegen'd static call into [[LangIdKernel]]. */
@@ -306,5 +380,8 @@ object TextFunctionsImpl {
     column(BloomContainsExpr(expression(bloom), expression(x)))
   def minhash_bands(text: Column, n: Column, bands: Column, rows: Column): Column =
     column(MinHashBandsExpr(expression(text), expression(n),
+      expression(bands), expression(rows)))
+  def minhash_bands_mp(text: Column, n: Column, bands: Column, rows: Column): Column =
+    column(MinHashBandsMpExpr(expression(text), expression(n),
       expression(bands), expression(rows)))
 }

@@ -86,6 +86,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(r07 >= 0.92, s"J=0.7 recall $r07 below the 0.988-theory band")
     assert(r09 >= 0.99, s"J=0.9 recall $r09 should be ~1")
     assert(r05 < r07 && r07 <= r09, "recall must be monotone in Jaccard")
+    // multiprobe: leave-one-out slots lift per-band collision from j^r to
+    // j^r + r·j^(r−1)(1−j) — at (16, 4) the J=0.5 recall moves from the
+    // 0.64 band to 1−(1−0.3125)^16 ≈ 0.9975, at unchanged hashing cost
+    val gotMp = Dedup.lshPairsBanded(df, bands = 16, rows = 4, ngram = 1,
+        minJaccard = 0.4, multiprobe = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(gotMp.forall { case (a, b) => b == a + 1 && a % 2 == 0 },
+      "exact-Jaccard verify must still reject cross-pair candidates")
+    assert(got.subsetOf(gotMp), "multiprobe candidates must be a superset")
+    def recallMp(li: Int): Double =
+      (0 until nPairs).count(i =>
+        gotMp.contains((li * 1000000L + i * 2L, li * 1000000L + i * 2L + 1))) / nPairs.toDouble
+    val m05 = recallMp(0)
+    assert(m05 >= 0.95, s"multiprobe J=0.5 recall $m05 below the ~0.9975-theory band")
+    assert(m05 > r05, "multiprobe must lift J=0.5 recall over the plain banding")
+    assert(recallMp(1) >= 0.99 && recallMp(2) >= 0.99)
   }
 
   test("contamination: hit fractions vs hand oracle; dirty docs (null/short text) report zeros") {

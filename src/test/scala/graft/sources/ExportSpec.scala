@@ -165,6 +165,53 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed CityJSON export: per-partition files byte-equal to the driver path, round-trips") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val doc = CityJsonReader.parseFile("/root/reference/input/cityjson/lod2_buildings_v2.json")
+    val surfaces = CityJsonReader.toSurfaces(doc, 1)
+    // two partitions (1 = the fixture, 9 = ids suffixed) forces two cogroups
+    def retag(fp: Footprint, pid: Int, sfx: String) =
+      fp.copy(feature_id = fp.feature_id + sfx, partition_id = pid)
+    def retagS(s: SurfacePoly, pid: Int, sfx: String) =
+      s.copy(feature_id = s.feature_id + sfx, surface_id = s.surface_id + sfx,
+        poly_id = if (s.poly_id.nonEmpty) s.poly_id + sfx else s.poly_id, partition_id = pid)
+    val fps = cj.map(retag(_, 1, "")) ++ cj.map(retag(_, 9, "_b"))
+    val surfs = surfaces.map(retagS(_, 1, "")) ++ surfaces.map(retagS(_, 9, "_b"))
+    val outDir = java.nio.file.Files.createTempDirectory("cjdist").toString
+    val manifest = Exporters.exportCityJsonDistributed(
+      fps.toDS().repartition(5), surfs.toDS().repartition(3), outDir, srs = "EPSG:3068")
+    assert(manifest.map(_._1) === Seq(1, 9))
+    // byte-equality vs the DRIVER path on the identical sorted slices —
+    // the distributed writer is the same serializer behind a task commit
+    manifest.foreach { case (pid, p) =>
+      val bSlice = fps.filter(_.partition_id == pid).sortBy(_.feature_id)
+      val sSlice = surfs.filter(_.partition_id == pid)
+        .sortBy(s => (s.feature_id, s.surface_id, s.poly_id))
+      val drv = java.nio.file.Files.createTempDirectory("cjdrv").resolve(s"d_$pid.json")
+      Exporters.exportCityJsonFull(bSlice, sSlice, drv.toString, srs = "EPSG:3068")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.file.Files.readAllBytes(drv)),
+        s"partition $pid distributed file != driver-path file")
+    }
+    // union of per-partition re-ingests == the input surface multiset
+    def key(s: SurfacePoly) = (s.feature_id, s.surface_type, s.exterior, s.interiors)
+    def multiset(xs: Seq[SurfacePoly]) = xs.groupBy(key).view.mapValues(_.size).toMap
+    val backS = manifest.flatMap { case (pid, p) =>
+      CityJsonReader.toSurfaces(CityJsonReader.parseFile(p), pid) }
+    assert(multiset(backS) === multiset(surfs))
+    // buildings-only dataset: falls back to ground-ring geometry (S8 shape)
+    val outDir2 = java.nio.file.Files.createTempDirectory("cjdist2").toString
+    Exporters.exportCityJsonDistributed(
+      fps.toDS(), spark.emptyDataset[SurfacePoly], outDir2, srs = "EPSG:3068")
+    val back2 = CityJsonReader.toFootprints(
+      CityJsonReader.parseFile(s"$outDir2/part_1.city.json"), 1)
+      .filter(_.feature_type == "Building")
+    assert(back2.map(_.feature_id).toSet ===
+      cj.filter(_.feature_type == "Building").map(_.feature_id).toSet)
+  }
+
   test("CityJSON quantization semantics: round(x*1000)/1000 (CityJSONDB.java:118-121)") {
     val f = Footprint("q1", "Building", 0,
       Seq(XY(1.23456, 2.00049), XY(3.99999, 2.00049), XY(3.99999, 9.5), XY(1.23456, 9.5)),
