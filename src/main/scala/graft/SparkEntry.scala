@@ -558,6 +558,38 @@ object SparkEntry {
       // topk_by aggregate — no window, no per-doc sort; Σcnt + n − 1 gives
       // total tokens out of the same aggregate, no join-back
       graft.functions.TextFunctions.topNgramMass(t(s, dir, "documents"), n = 2)),
+    "q65_token_budget" -> ((s, dir) => {
+      // data-mixture planning: per-source corpus accounting — documents,
+      // tokens, and the EFFECTIVE counts under the q63 mixture weights
+      // (what the training run will actually see). One map-side-combined
+      // aggregation over the scan, zero joins — the query a 100-TB token
+      // budget is planned with.
+      val keep = graft.functions.TextFunctions.mixtureFilter(
+        col("doc_id"), col("source"), Map("src0" -> 0.5, "src7" -> 0.25, "src19" -> 0.0))
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"), keep.as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          count(when(col("keep"), 1)).as("eff_docs"),
+          sum(when(col("keep"), col("toks")).otherwise(0L)).as("eff_tokens"))
+    }),
+    "q64_paragraph_dedup" -> ((s, dir) => {
+      // C4-style corpus-wide paragraph dedup on injected structure: every
+      // 3rd doc becomes (unique slice \n shared boilerplate \n unique
+      // slice) — the boilerplate paragraph must survive ONLY in doc 0 and
+      // every reassembled doc is hash-gated (exact duplicate docs in the
+      // corpus also lose their text to the first copy, on both engines)
+      val txt = coalesce(col("text"), lit(""))
+      val injected = when(col("doc_id") % 3 === 0,
+        concat_ws("\n", substring(txt, 1, 50),
+          lit("all rights reserved contact the site admin for details"),
+          substring(txt, 51, 50)))
+        .otherwise(txt)
+      graft.operators.Dedup.paragraphDedup(
+        t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
+    }),
     "q63_mixture_sample" -> ((s, dir) =>
       // weighted per-source mixture sampling: downsample src0 to 50%,
       // src7 to 25%, drop src19, keep the rest — deterministic
@@ -1450,6 +1482,50 @@ object SparkEntry {
                      ELSE 0.0::DOUBLE END AS frac
          FROM documents d
          LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.doc_id = r.doc_id""",
+    "q65_token_budget" ->
+      """WITH h AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                           md5(CAST(doc_id AS VARCHAR) || 'mix') AS hx
+                    FROM documents),
+         b AS (SELECT source, toks,
+                 CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+                      (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+                      (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+                      (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS DOUBLE)
+                 < CASE WHEN source = 'src0' THEN 0.5::DOUBLE
+                        WHEN source = 'src7' THEN 0.25::DOUBLE
+                        WHEN source = 'src19' THEN 0.0::DOUBLE
+                        ELSE 1.0::DOUBLE END * 65536.0::DOUBLE AS keep
+               FROM h)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
+                count(CASE WHEN keep THEN 1 END) AS eff_docs,
+                CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS eff_tokens
+         FROM b GROUP BY 1""",
+    "q64_paragraph_dedup" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id %% 3 = 0
+                       THEN substring(COALESCE(text, ''), 1, 50) || chr(10) ||
+                            'all rights reserved contact the site admin for details' ||
+                            chr(10) || substring(COALESCE(text, ''), 51, 50)
+                       ELSE COALESCE(text, '') END AS t
+           FROM documents),
+         lx AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM inj),
+         p AS (SELECT doc_id,
+                      unnest([i FOR i IN range(0, len(lines))]) AS pos,
+                      unnest(lines) AS para
+               FROM lx),
+         k AS (SELECT doc_id, pos, para,
+                      row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+               FROM p),
+         re AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM k WHERE rn = 1 GROUP BY 1)
+         SELECT l.doc_id, COALESCE(re.text, '') AS text,
+                CAST(len(l.lines) AS INT) AS n_paras,
+                CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
+         FROM lx l LEFT JOIN re ON l.doc_id = re.doc_id""",
     "q63_mixture_sample" ->
       """WITH h AS (SELECT doc_id, source,
                            md5(CAST(doc_id AS VARCHAR) || 'mix') AS hx

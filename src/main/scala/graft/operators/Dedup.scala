@@ -237,6 +237,56 @@ object Dedup {
         (coalesce(col("n_hit"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /**
+   * Corpus-wide paragraph dedup (the C4/CCNet line-level rule): every
+   * paragraph (newline-separated) that occurs more than once ACROSS the
+   * corpus is kept only at its first occurrence — (doc_id, position)
+   * lexicographic minimum — and removed everywhere else; documents are then
+   * reassembled in original paragraph order. Boilerplate (nav bars, cookie
+   * banners, license headers) duplicates at paragraph granularity long
+   * before whole documents do, so this catches what doc-level dedup cannot.
+   *
+   * Scale shape: the keeper decision shuffles only (md5(paragraph), doc_id,
+   * pos) — 16-byte digests, never paragraph text — with a map-side-combined
+   * `min(struct(doc_id, pos))` per digest; the kept positions come back as
+   * ONE ids-only array row per doc, so paragraph text crosses the wire
+   * exactly once, on the doc_id equi-join whose hash partitioning the
+   * reassembly groupBy then reuses (no second text exchange). Output:
+   * (doc_id, text, n_paras, n_kept). Docs whose every paragraph loses are
+   * kept with empty text (the caller's length gate is the right place to
+   * drop them). DuckDB-oracle-checked (q64) on injected shared paragraphs.
+   */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "para")))
+    val hashed = paras.select(col("doc_id"), col("pos"),
+      md5(col("para").cast("binary")).as("h"))
+    // first occurrence per distinct paragraph: lexicographic min (doc, pos).
+    // These (doc, pos) pairs ARE the kept set — every surviving occurrence
+    // is by definition the first occurrence of its paragraph.
+    val keptPos = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("keep_pos"))
+    // text's single shuffle: the doc_id join; the groupBy below reuses its
+    // partitioning. array_contains is scan-local CPU over a per-doc line
+    // count (small); reassembly extracts the struct field from the sorted
+    // array — ordered output without a per-element higher-order function.
+    val parts = paras.join(keptPos, Seq("doc_id"))
+      .where(array_contains(col("keep_pos"), col("pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("para")))).as("ps"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), array_join(col("ps").getField("para"), "\n").as("text"),
+        col("n_kept"))
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(split(coalesce(col(textCol), lit("")), "\n")).as("n_paras"))
+    counts.join(parts, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), coalesce(col("text"), lit("")).as(textCol),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
   def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
     val tok = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }

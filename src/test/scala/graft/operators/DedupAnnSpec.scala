@@ -149,6 +149,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(6L) === ((0L, false)))
   }
 
+  test("paragraphDedup: first occurrence survives, duplicates removed, order preserved") {
+    val docs = Seq[(java.lang.Long, String)](
+      (5L, "unique five\nshared boilerplate\nanother five"),
+      (2L, "first two\nshared boilerplate\nsecond two"), // min doc → keeps it
+      (7L, "shared boilerplate"), // loses its ONLY paragraph → empty text
+      (9L, "solo paragraph"),
+      (11L, null)
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got(2L) === (("first two\nshared boilerplate\nsecond two", 3, 3L)))
+    assert(got(5L) === (("unique five\nanother five", 3, 2L)),
+      "duplicate paragraph must vanish while order is preserved")
+    assert(got(7L) === (("", 1, 0L)), "all-duplicate doc keeps empty text")
+    assert(got(9L) === (("solo paragraph", 1, 1L)))
+    // null text == "" == one empty paragraph; it is the corpus's only empty
+    // paragraph so it keeps itself
+    assert(got(11L) === (("", 1, 1L)))
+  }
+
   test("repetition columns: null text reports (0, 0, 0.0), repeated grams counted") {
     val docs = Seq[(java.lang.Long, String)](
       (1L, "x y x y x y x y"), // 6 grams, 2 distinct -> rep 2/3

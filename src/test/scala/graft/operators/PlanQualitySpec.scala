@@ -255,6 +255,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"no SMJ of exploded shingles:\n$plan")
   }
 
+  test("exact decontamination (q62): broadcast-only joins, substring verify rides a join condition") {
+    // the passage set and the candidate set are small by construction — no
+    // stage may sort-merge the training side; the instr() verify must be a
+    // join condition (scan-side), not a post-shuffle filter over text rows
+    val q = graft.SparkEntry.queries("q62_decontaminate_exact")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"), s"q62 must not SMJ the training side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q62 joins must broadcast:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("Join") && l.contains("instr(")),
+      s"substring verify must ride a join condition:\n$plan")
+  }
+
+  test("paragraph dedup (q64): keeper via map-side-combined min(struct), no Window") {
+    // the first-occurrence decision is an aggregate over 16-byte digests
+    // (partial_min combines map-side); a window over the paragraph table
+    // would shuffle AND sort every paragraph row
+    val q = graft.SparkEntry.queries("q64_paragraph_dedup")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"q64 must not plan a Window:\n$plan")
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"keeper decision should partial-aggregate map-side:\n$plan")
+    // the digest shuffle carries (doc_id, pos, h) only — never paragraph text
+    val digestExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(h#"))
+    assert(digestExchange, s"keeper decision must shuffle on the digest:\n$plan")
+  }
+
   test("bloom pre-filter (q59) applies at the scan, before the join") {
     // bloom_contains must appear in a Filter below the join — survivors
     // only, never the full fact side, reach the exchange

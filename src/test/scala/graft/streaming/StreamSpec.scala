@@ -140,6 +140,44 @@ class StreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("quality-gate pack is streaming-safe: gopher + repetition + redaction == batch on a stream") {
+    // the whole scan-local curation surface (q57/q58/q60 packs) applied
+    // INSIDE a structured stream — stateless codegen expressions, so a
+    // micro-batch replay must produce byte-identical columns to the batch
+    // run over the same files
+    val rows = (0L until 300L).map { i =>
+      val text = i % 4 match {
+        case 0 => s"line a$i\nline a$i\n• bullet\ncall +49 30 555 $i now"
+        case 1 => s"spam spam spam spam spam spam spam $i"
+        case 2 => s"contact user$i@example.com about item $i ..."
+        case _ => s"plain document number $i with ordinary words w$i"
+      }
+      (i, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("gate_stream").toString
+    rows.toDF("doc_id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    def gateCols(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id") +:
+        graft.functions.TextFunctions.redactPii(col("text")).as("clean") +:
+        graft.functions.TextFunctions.repetitionFrac(col("text")).as("rep") +:
+        graft.functions.TextFunctions.gopherColumns(col("text")): _*)
+    val schema = spark.read.parquet(dir).schema
+    val q = gateCols(spark.readStream.schema(schema).parquet(dir)).writeStream
+      .format("memory").queryName("gate_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_stream").collect().map(_.toSeq).toSet
+    val want = gateCols(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // the fixtures actually exercise every rule
+    val byId = spark.table("gate_stream").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(4L).getDouble(4) > 0.0, "dup_line_frac must fire") // doc 4: i%4==0
+    assert(byId(1L).getDouble(2) > 0.5, "repetition must fire")
+    assert(byId(2L).getString(1).contains("<EMAIL>"), "redaction must fire")
+  }
+
   test("sketch aggregates are streaming-safe: MG + KLL guarantees hold in complete mode") {
     // the TypedImperativeAggregates maintain their buffers incrementally in
     // the streaming state store; the result after the replay must be a LEGAL
