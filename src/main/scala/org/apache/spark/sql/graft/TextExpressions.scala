@@ -214,12 +214,13 @@ object MinHashKernel {
     mix64(h)
   }
 
-  def bands(text: UTF8String, n: Int, bands: Int, rows: Int)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
+  /** Per-(band, row) minima over the doc's shingles; null when the doc has
+    * no shingle (fewer than n tokens). One base hash per shingle, one
+    * multiply-xor chain per (shingle, permutation) — no per-perm digest. */
+  private def minima(text: UTF8String, n: Int, bands: Int, rows: Int): Array[Long] = {
     val toks = text.toLowerCase.toString.split(" ", -1)
     val m = toks.length - n + 1
-    if (m <= 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    if (m <= 0) return null
     val perms = bands * rows
     val mins = new Array[Long](perms)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -231,14 +232,21 @@ object MinHashKernel {
       val base = baseHash(sb)
       var p = 0
       while (p < perms) {
-        // seed p derived by the same full-avalanche mix — one multiply-xor
-        // chain per (shingle, permutation), no per-perm digest
+        // seed p derived by the same full-avalanche mix
         val h = mix64(base ^ mix64(0x9e3779b97f4a7c15L * (p + 1)))
         if (h < mins(p)) mins(p) = h
         p += 1
       }
       i += 1
     }
+    mins
+  }
+
+  def bands(text: UTF8String, n: Int, bands: Int, rows: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = minima(text, n, bands, rows)
+    if (mins == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
@@ -264,27 +272,9 @@ object MinHashKernel {
    */
   def bandsMp(text: UTF8String, n: Int, bands: Int, rows: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = text.toLowerCase.toString.split(" ", -1)
-    val m = toks.length - n + 1
-    if (m <= 0)
+    val mins = minima(text, n, bands, rows)
+    if (mins == null)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
-    val perms = bands * rows
-    val mins = new Array[Long](perms)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      val base = baseHash(sb)
-      var p = 0
-      while (p < perms) {
-        val h = mix64(base ^ mix64(0x9e3779b97f4a7c15L * (p + 1)))
-        if (h < mins(p)) mins(p) = h
-        p += 1
-      }
-      i += 1
-    }
     val out = new Array[Any](bands * (rows + 1))
     var b = 0
     while (b < bands) {

@@ -260,6 +260,11 @@ final class TopKByBuffer(val k: Int) {
   private def beats(s: Double, key: UTF8String, i: Int): Boolean =
     s > scores(i) || (s == scores(i) && key.compareTo(keys(i)) < 0)
 
+  /** Losing rows are the overwhelming majority at scale — callers check this
+    * BEFORE copying the payload value, so losers cost zero allocation. */
+  def wouldAccept(s: Double, key: UTF8String): Boolean =
+    n < k || beats(s, key, k - 1)
+
   /** `key0` may alias a reused row buffer — cloned iff kept. `payload` must
     * already be an owned (copied) catalyst value. */
   def insert(s: Double, key0: UTF8String, payload: Any): Unit = {
@@ -325,13 +330,18 @@ case class TopKByAgg(
     val s = scoreChild.eval(input)
     val key = keyChild.eval(input)
     if (s != null && key != null) {
-      // payload values can alias reused row buffers (UTF8String/InternalRow
-      // backed by the scan's UnsafeRow) — copyValue makes the buffer own them
-      val p = payloadChild match {
-        case Some(pc) => InternalRow.copyValue(pc.eval(input))
-        case None => null
+      val sd = s.asInstanceOf[Double]
+      val ku = key.asInstanceOf[UTF8String]
+      if (b.wouldAccept(sd, ku)) {
+        // payload values can alias reused row buffers (UTF8String/InternalRow
+        // backed by the scan's UnsafeRow) — copyValue makes the buffer own
+        // them; evaluated ONLY for accepted rows (losers dominate at scale)
+        val p = payloadChild match {
+          case Some(pc) => InternalRow.copyValue(pc.eval(input))
+          case None => null
+        }
+        b.insert(sd, ku, p)
       }
-      b.insert(s.asInstanceOf[Double], key.asInstanceOf[UTF8String], p)
     }
     b
   }
