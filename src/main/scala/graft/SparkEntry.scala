@@ -689,12 +689,20 @@ object SparkEntry {
       // thousands of near-identical docs under one root — exactly where a
       // row_number() window's per-root shuffle+sort hurts; the window form
       // lives on as the DuckDB oracle twin. Plan gate: no Window/Sort.
-      labeled.groupBy("root")
+      // topk_by skips null scores, but a null-text singleton must still
+      // keep itself (the window/oracle rank it 1) — coalesce to -Inf for
+      // ranking and map the sentinel back to null in the output (quality
+      // is in [0, 1], so the sentinel cannot collide with a real score).
+      val ranked = labeled.groupBy("root")
         .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
-          col("quality"), col("doc_id"), 1).as("top"))
+          coalesce(col("quality"), lit(Double.NegativeInfinity)),
+          col("doc_id"), 1).as("top"))
         .select(col("root").as("cluster_root"),
           element_at(col("top"), 1).getField("key").as("keeper"),
-          element_at(col("top"), 1).getField("score").as("quality"))
+          element_at(col("top"), 1).getField("score").as("q0"))
+      ranked.select(col("cluster_root"), col("keeper"),
+        when(col("q0") === Double.NegativeInfinity, lit(null).cast("double"))
+          .otherwise(col("q0")).as("quality"))
     }),
     "q36_dedup_clusters" -> ((s, dir) => {
       // transitive near-dup clustering: LSH pairs -> connected components ->
@@ -1477,8 +1485,9 @@ object SparkEntry {
                FROM c)
          SELECT d.doc_id, r.gram AS top_gram, CAST(r.cnt AS BIGINT) AS top_cnt,
                 CASE WHEN r.cnt IS NOT NULL
-                     THEN CAST(r.cnt AS DOUBLE) * 2.0::DOUBLE
-                          / (CAST(r.total AS DOUBLE) + 1.0::DOUBLE)
+                     THEN LEAST(1.0::DOUBLE,
+                          CAST(r.cnt AS DOUBLE) * 2.0::DOUBLE
+                          / (CAST(r.total AS DOUBLE) + 1.0::DOUBLE))
                      ELSE 0.0::DOUBLE END AS frac
          FROM documents d
          LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON d.doc_id = r.doc_id""",
@@ -1517,7 +1526,9 @@ object SparkEntry {
                       unnest(lines) AS para
                FROM lx),
          k AS (SELECT doc_id, pos, para,
-                      row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                      CASE WHEN trim(para) = '' THEN 1
+                           ELSE row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+                      END AS rn
                FROM p),
          re AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
                        count(*) AS n_kept

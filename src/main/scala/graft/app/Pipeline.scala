@@ -45,17 +45,12 @@ object Pipeline {
              keepCols: Seq[String] = Nil): DataFrame = {
     val centroids = polys.map(f => (f.feature_id, f.centroid.x, f.centroid.y))
     val nn = new graft.operators.KnnIndex(centroids, k)
-    def intConf(key: String, dflt: Int): Int = {
-      val raw = images.sparkSession.conf.get(key, dflt.toString)
-      try raw.toInt catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"$key must be an int, got '$raw'")
-      }
-    }
     val enriched = PipJoin.auto(
         images.select((Seq("image_id", "x", "y") ++ keepCols).map(col): _*), polys,
-        exprLimit = intConf("spark.graft.pipeline.pipExprVertexLimit", 100000),
-        broadcastLimit = intConf("spark.graft.pipeline.pipBroadcastVertexLimit", 5000000))
+        exprLimit = graft.core.Confs.intConf(images.sparkSession,
+          "spark.graft.pipeline.pipExprVertexLimit", 100000, min = 0),
+        broadcastLimit = graft.core.Confs.intConf(images.sparkSession,
+          "spark.graft.pipeline.pipBroadcastVertexLimit", 5000000, min = 0))
       .withColumn("cell", graft.functions.GeoFunctions.hex_encode(
         col("x"), col("y"), lit(PipJoin.DefaultRes)))
       .withColumn("tile_id", graft.functions.GeoFunctions.tile_of(
@@ -152,7 +147,7 @@ object Pipeline {
     // its own cluster must still keep itself (the window form kept it)
     val quality = docs.select(col("doc_id"),
       coalesce(graft.functions.TextFunctions.qualityColumns(col("text")).last,
-        lit(Double.MinValue)).as("quality"))
+        lit(Double.NegativeInfinity)).as("quality"))
     val labeled = quality.join(cc, Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("root"), col("doc_id")))
     // per-cluster argmax (quality desc, id asc) via the 1-bounded topk_by

@@ -201,9 +201,16 @@ object TextFunctions {
    * ratio ('#' and ellipsis — templated/spammy markup), and the fraction of
    * lines that start with a bullet or end in an ellipsis (list-shaped pages
    * that read poorly as prose). All scan-local built-ins (split/array_distinct/
-   * concat_ws/regexp_count — codegen'd, zero shuffle); the regexes use only
-   * constructs with identical Java-regex/RE2 semantics, so the whole pack is
+   * concat_ws/regexp_count — codegen'd, zero shuffle); the regexes are
+   * chosen for identical Java-regex/RE2 SEMANTICS, so the whole pack is
    * DuckDB-oracle-checked (q60) on deterministically injected structure.
+   * The line-anchored patterns carry Java's UNIX_LINES flag — `(?dm)` —
+   * because Java's default multiline terminators include CR, NEL
+   * (U+0085), LS (U+2028) and PS (U+2029) while RE2's `(?m)` anchors
+   * at LF only; with the `d` flag both
+   * engines anchor at exactly \n, which also matches the `split("\n")`
+   * line model of the dup-line rules (the DuckDB twin spells it `(?m)` —
+   * RE2 has no `d` flag and needs none).
    * Conventions: null text == ""; a single-line doc scores 0 on the line
    * rules; `n_words` is the space-split token count shared with [[tokens]].
    */
@@ -222,9 +229,9 @@ object TextFunctions {
       .otherwise(lit(0.0))
     val nWords = size(split(t, " ")).cast("double") // >= 1 (split min one token)
     val symbolRatio = regexp_count(t, lit("#|\\.\\.\\.|…")).cast("double") / nWords
-    val bulletFrac = regexp_count(t, lit("(?m)^[-*•]")).cast("double") / nLines.cast("double")
+    val bulletFrac = regexp_count(t, lit("(?dm)^[-*•]")).cast("double") / nLines.cast("double")
     val ellipsisFrac =
-      regexp_count(t, lit("(?m)(\\.\\.\\.|…)$")).cast("double") / nLines.cast("double")
+      regexp_count(t, lit("(?dm)(\\.\\.\\.|…)$")).cast("double") / nLines.cast("double")
     Seq(nLines.as("n_lines"), dupLineFrac.as("dup_line_frac"),
       dupCharFrac.as("dup_char_frac"), symbolRatio.as("symbol_ratio"),
       bulletFrac.as("bullet_line_frac"), ellipsisFrac.as("ellipsis_line_frac"))
@@ -243,7 +250,10 @@ object TextFunctions {
    * table, so unlike [[gopherColumns]] it is a groupBy pair, with the argmax
    * taken by the 1-bounded `topk_by` aggregate (map-side combine, no per-doc
    * sort or window). total tokens = Σcnt + n − 1 falls out of the same
-   * aggregate — no join-back against the doc table. Gramless docs (shorter
+   * aggregate — no join-back against the doc table. Self-overlapping
+   * occurrences ("a a a a" for n=2) would nominally cover more tokens than
+   * the doc has, so the mass is clamped to 1.0 — a gate like "drop if
+   * top-2-gram mass > 0.2" must see a true fraction. Gramless docs (shorter
    * than n tokens) report (null, null, 0.0). DuckDB-oracle-checked (q61).
    */
   def topNgramMass(docs: DataFrame, n: Int = 2,
@@ -264,8 +274,8 @@ object TextFunctions {
       e.getField("key").as("top_gram"),
       e.getField("score").cast("long").as("top_cnt"),
       when(col("total") > 0L,
-        e.getField("score") * lit(n.toDouble) /
-          (col("total").cast("double") + lit((n - 1).toDouble)))
+        least(lit(1.0), e.getField("score") * lit(n.toDouble) /
+          (col("total").cast("double") + lit((n - 1).toDouble))))
         .otherwise(lit(0.0)).as("frac"))
   }
 

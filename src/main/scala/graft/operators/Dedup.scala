@@ -254,17 +254,22 @@ object Dedup {
    * reassembly groupBy then reuses (no second text exchange). Output:
    * (doc_id, text, n_paras, n_kept). Docs whose every paragraph loses are
    * kept with empty text (the caller's length gate is the right place to
-   * drop them). DuckDB-oracle-checked (q64) on injected shared paragraphs.
+   * drop them). Whitespace-only paragraphs are STRUCTURE, not content —
+   * they are always kept and never enter the keeper contest (otherwise the
+   * empty string becomes the corpus's largest "duplicate" class and every
+   * doc but one loses its blank-line separators — the reason C4-style line
+   * dedup excludes trivial lines). DuckDB-oracle-checked (q64) on injected
+   * shared paragraphs.
    */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val paras = docs.select(col(idCol).as("doc_id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "para")))
-    val hashed = paras.select(col("doc_id"), col("pos"),
-      md5(col("para").cast("binary")).as("h"))
-    // first occurrence per distinct paragraph: lexicographic min (doc, pos).
-    // These (doc, pos) pairs ARE the kept set — every surviving occurrence
-    // is by definition the first occurrence of its paragraph.
+    val hashed = paras.where(trim(col("para")) =!= "")
+      .select(col("doc_id"), col("pos"), md5(col("para").cast("binary")).as("h"))
+    // first occurrence per distinct non-trivial paragraph: lexicographic
+    // min (doc, pos). These (doc, pos) pairs ARE the kept set — every
+    // surviving occurrence is by definition its paragraph's first.
     val keptPos = hashed.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"))
@@ -273,8 +278,11 @@ object Dedup {
     // partitioning. array_contains is scan-local CPU over a per-doc line
     // count (small); reassembly extracts the struct field from the sorted
     // array — ordered output without a per-element higher-order function.
-    val parts = paras.join(keptPos, Seq("doc_id"))
-      .where(array_contains(col("keep_pos"), col("pos")))
+    // Left join: a doc whose every paragraph is blank has no keptPos row
+    // but still keeps its (structural) blank lines.
+    val parts = paras.join(keptPos, Seq("doc_id"), "left")
+      .where(coalesce(array_contains(col("keep_pos"), col("pos")), lit(false)) ||
+        trim(col("para")) === "")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("para")))).as("ps"),
         count(lit(1)).as("n_kept"))
@@ -461,16 +469,8 @@ object Dedup {
     // duplicate-insensitive, so skipping is a pure plan change, not a
     // semantic one (DedupAnnSpec asserts identical components and the same
     // round bound on both sides of the threshold).
-    val interDistinctMinEdges = {
-      val raw = pairs.sparkSession.conf.get(
-        "spark.graft.cc.interDistinctMinEdges", (1L << 22).toString)
-      val v = try raw.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"spark.graft.cc.interDistinctMinEdges must be a long, got '$raw'")
-      }
-      require(v >= 0, s"spark.graft.cc.interDistinctMinEdges must be >= 0, got $v")
-      v
-    }
+    val interDistinctMinEdges = graft.core.Confs.longConf(pairs.sparkSession,
+      "spark.graft.cc.interDistinctMinEdges", 1L << 22, min = 0L)
     var edges = edges0.where(col("u") =!= col("v"))
     var sig = checksum(edges)
     var rounds = 0

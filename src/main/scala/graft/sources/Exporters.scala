@@ -267,13 +267,16 @@ object Exporters {
         Iterator.single(pid -> path)
       }
       .collect().toSeq.sortBy(_._1) // O(#partitions) tiny manifest, not rows
-    // sweep orphaned temps from failed/killed attempts (best-effort: a
-    // concurrent export to the same outDir keeps its own temps)
+    // sweep orphaned temps from failed/killed attempts — ONLY this job's
+    // (matched on filePrefix AND extension): a concurrent export of the
+    // other format (or another prefix) into the same outDir may still be
+    // writing its own temps, and deleting them would fail its atomic rename
     val tmpDir = java.nio.file.Paths.get(s"$outDir/_tmp")
     if (java.nio.file.Files.isDirectory(tmpDir)) {
       val s = java.nio.file.Files.list(tmpDir)
       try s.forEach { p =>
-        if (p.getFileName.toString.contains(".inprogress_"))
+        val name = p.getFileName.toString
+        if (name.startsWith(filePrefix) && name.contains(s"$ext.inprogress_"))
           java.nio.file.Files.deleteIfExists(p)
       } finally s.close()
       // removes the dir only when empty (concurrent jobs keep it)

@@ -249,27 +249,29 @@ object LongTopKAgg {
   }
 }
 
-/** Mutable k-bounded set ordered by (score DESC, key ASC), with an optional
-  * opaque payload rider per entry. Same sorted-array shape as [[TopKBuffer]]. */
-final class TopKByBuffer(val k: Int) {
+/** Mutable k-bounded set ordered by (score DESC, key ASC under `keyOrd`),
+  * with an optional opaque payload rider per entry. Same sorted-array shape
+  * as [[TopKBuffer]]; keys are typed catalyst values compared with their
+  * type's native ordering (a bigint key ties-break NUMERICALLY — an implicit
+  * cast to string would silently flip e.g. 2 vs 10). */
+final class TopKByBuffer(val k: Int, val keyOrd: Ordering[Any]) {
   var n: Int = 0
   val scores: Array[Double] = new Array[Double](k)
-  val keys: Array[UTF8String] = new Array[UTF8String](k)
+  val keys: Array[Any] = new Array[Any](k)
   val payloads: Array[Any] = new Array[Any](k)
 
-  private def beats(s: Double, key: UTF8String, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && key.compareTo(keys(i)) < 0)
+  private def beats(s: Double, key: Any, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && keyOrd.compare(key, keys(i)) < 0)
 
   /** Losing rows are the overwhelming majority at scale — callers check this
-    * BEFORE copying the payload value, so losers cost zero allocation. */
-  def wouldAccept(s: Double, key: UTF8String): Boolean =
+    * BEFORE copying the key/payload values, so losers cost zero allocation.
+    * `key` may alias a reused row buffer (comparison only, no retention). */
+  def wouldAccept(s: Double, key: Any): Boolean =
     n < k || beats(s, key, k - 1)
 
-  /** `key0` may alias a reused row buffer — cloned iff kept. `payload` must
-    * already be an owned (copied) catalyst value. */
-  def insert(s: Double, key0: UTF8String, payload: Any): Unit = {
-    if (n == k && !beats(s, key0, k - 1)) return
-    val key = key0.clone()
+  /** `key` and `payload` must already be owned (copied) catalyst values. */
+  def insert(s: Double, key: Any, payload: Any): Unit = {
+    if (n == k && !beats(s, key, k - 1)) return
     var i = if (n < k) n else k - 1
     while (i > 0 && beats(s, key, i - 1)) {
       scores(i) = scores(i - 1); keys(i) = keys(i - 1); payloads(i) = payloads(i - 1)
@@ -292,11 +294,15 @@ final class TopKByBuffer(val k: Int) {
  * k-entry buffers cross the shuffle, so the shuffle volume is
  * candidate-count-independent (the window form shuffles AND sorts every
  * candidate row per group — the exact shape q13 eliminated with long_topk;
- * this is its (score, key[, payload]) generalization). Result:
- * array<struct<key: string, score: double[, payload], rnk: int>> in rank
- * order. `payload` is an arbitrary column (e.g. a struct of extra fields)
- * carried alongside each kept entry, so callers don't need a join-back
- * against the full candidate table to recover them.
+ * this is its (score, key[, payload]) generalization). The key keeps its
+ * INPUT type (any orderable atomic type) and ties break with that type's
+ * own ordering, exactly like the window's ORDER BY — no implicit
+ * cast-to-string (which would both change the output schema and flip
+ * numeric tie-breaks lexicographically). Result:
+ * array<struct<key, score: double[, payload], rnk: int>> in rank order.
+ * `payload` is an arbitrary column (e.g. a struct of extra fields) carried
+ * alongside each kept entry, so callers don't need a join-back against the
+ * full candidate table to recover them.
  */
 @ExpressionDescription(usage =
   "topk_by(score, key[, payload], k) - bounded top-k by (score desc, key asc) with map-side combine")
@@ -309,14 +315,23 @@ case class TopKByAgg(
 
   require(k >= 1, s"topk_by: k must be >= 1, got $k")
 
-  private def payloadType: DataType = payloadChild.map(_.dataType).getOrElse(NullType)
+  private def keyType: DataType = keyChild.dataType
+  private def entryTypes: Array[DataType] =
+    Array(keyType) ++ payloadChild.map(_.dataType)
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(DoubleType, StringType) ++ payloadChild.map(_ => AnyDataType)
+    Seq(DoubleType, AnyDataType) ++ payloadChild.map(_ => AnyDataType)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(keyType, prettyName)
+  }
   override def children: Seq[Expression] = Seq(scoreChild, keyChild) ++ payloadChild
   override def nullable: Boolean = false
   override def dataType: DataType = {
-    val base = new StructType().add("key", StringType).add("score", DoubleType)
+    val base = new StructType().add("key", keyType).add("score", DoubleType)
     val withPayload = payloadChild match {
       case Some(p) => base.add("payload", p.dataType, p.nullable)
       case None => base
@@ -324,23 +339,25 @@ case class TopKByAgg(
     ArrayType(withPayload.add("rnk", IntegerType), containsNull = false)
   }
 
-  override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer(k)
+  @transient private lazy val keyOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyType)
+
+  override def createAggregationBuffer(): TopKByBuffer = new TopKByBuffer(k, keyOrdering)
 
   override def update(b: TopKByBuffer, input: InternalRow): TopKByBuffer = {
     val s = scoreChild.eval(input)
     val key = keyChild.eval(input)
     if (s != null && key != null) {
       val sd = s.asInstanceOf[Double]
-      val ku = key.asInstanceOf[UTF8String]
-      if (b.wouldAccept(sd, ku)) {
-        // payload values can alias reused row buffers (UTF8String/InternalRow
-        // backed by the scan's UnsafeRow) — copyValue makes the buffer own
-        // them; evaluated ONLY for accepted rows (losers dominate at scale)
+      if (b.wouldAccept(sd, key)) {
+        // key/payload values can alias reused row buffers (UTF8String/
+        // InternalRow backed by the scan's UnsafeRow) — copyValue makes the
+        // buffer own them; done ONLY for accepted rows (losers dominate)
         val p = payloadChild match {
           case Some(pc) => InternalRow.copyValue(pc.eval(input))
           case None => null
         }
-        b.insert(sd, ku, p)
+        b.insert(sd, InternalRow.copyValue(key), p)
       }
     }
     b
@@ -361,29 +378,26 @@ case class TopKByAgg(
     new GenericArrayData(rows)
   }
 
-  // payload (de)serialization rides an UnsafeProjection over the payload's
-  // actual dataType — works for any Spark SQL type without a custom codec
-  @transient private lazy val payloadProj =
-    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Array(payloadType))
+  // (key, payload) serialization rides ONE UnsafeProjection over their actual
+  // dataTypes — works for any Spark SQL type without a custom codec
+  @transient private lazy val entryProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(entryTypes)
 
   override def serialize(b: TopKByBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.n)
+    val fields = entryTypes.length
+    val entry = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
     var i = 0
     while (i < b.n) {
       out.writeDouble(b.scores(i))
-      val kb = b.keys(i).getBytes
-      out.writeInt(kb.length); out.write(kb)
-      if (payloadChild.isDefined) {
-        if (b.payloads(i) == null) out.writeInt(-1)
-        else {
-          val ur = payloadProj(InternalRow(b.payloads(i)))
-          // write immediately: getBytes may alias the projection's reused buffer
-          val pb = ur.getBytes
-          out.writeInt(pb.length); out.write(pb)
-        }
-      }
+      entry.update(0, b.keys(i))
+      if (fields > 1) entry.update(1, b.payloads(i))
+      val ur = entryProj(entry)
+      // write immediately: getBytes may alias the projection's reused buffer
+      val eb = ur.getBytes
+      out.writeInt(eb.length); out.write(eb)
       i += 1
     }
     out.flush(); bos.toByteArray
@@ -391,24 +405,21 @@ case class TopKByAgg(
 
   override def deserialize(bytes: Array[Byte]): TopKByBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val b = new TopKByBuffer(k)
+    val b = new TopKByBuffer(k, keyOrdering)
     val n = in.readInt()
+    val fields = entryTypes.length
     var i = 0
     while (i < n) {
       val s = in.readDouble()
-      val klen = in.readInt()
-      val kb = new Array[Byte](klen); in.readFully(kb)
-      var p: Any = null
-      if (payloadChild.isDefined) {
-        val plen = in.readInt()
-        if (plen >= 0) {
-          val pb = new Array[Byte](plen); in.readFully(pb)
-          val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
-          row.pointTo(pb, plen)
-          p = InternalRow.copyValue(row.get(0, payloadType))
-        }
-      }
-      b.insert(s, UTF8String.fromBytes(kb), p)
+      val elen = in.readInt()
+      val eb = new Array[Byte](elen); in.readFully(eb)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(fields)
+      row.pointTo(eb, elen)
+      val key = InternalRow.copyValue(row.get(0, keyType))
+      val p =
+        if (fields > 1) InternalRow.copyValue(row.get(1, payloadChild.get.dataType))
+        else null
+      b.insert(s, key, p)
       i += 1
     }
     b

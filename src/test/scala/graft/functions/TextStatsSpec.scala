@@ -37,4 +37,17 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("topNgramMass: mass is a true fraction — self-overlapping grams clamp to 1.0") {
+    val docs = Seq(
+      (1L, "a a a a"),          // "a a" occurs 3x overlapping: unclamped 1.5
+      (2L, "x y x y z"),        // top "x y" 2x, total grams 4, T=5 → 0.8
+      (3L, "w")                 // no 2-gram
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.topNgramMass(docs, n = 2).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getDouble(3))).toMap
+    assert(got(1L) === ((Some("a a"), 1.0)), "overlap must clamp to a fraction")
+    assert(got(2L) === ((Some("x y"), 0.8)))
+    assert(got(3L) === ((None, 0.0)))
+  }
 }

@@ -155,7 +155,11 @@ class DedupAnnSpec extends AnyFunSuite {
       (2L, "first two\nshared boilerplate\nsecond two"), // min doc → keeps it
       (7L, "shared boilerplate"), // loses its ONLY paragraph → empty text
       (9L, "solo paragraph"),
-      (11L, null)
+      (11L, null),
+      // blank lines are STRUCTURE: every doc keeps its separators even
+      // though the empty paragraph "duplicates" corpus-wide
+      (13L, "alpha thirteen\n\nbeta thirteen"),
+      (15L, "gamma fifteen\n\ndelta fifteen")
     ).toDF("doc_id", "text")
     val got = Dedup.paragraphDedup(docs).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
@@ -164,9 +168,11 @@ class DedupAnnSpec extends AnyFunSuite {
       "duplicate paragraph must vanish while order is preserved")
     assert(got(7L) === (("", 1, 0L)), "all-duplicate doc keeps empty text")
     assert(got(9L) === (("solo paragraph", 1, 1L)))
-    // null text == "" == one empty paragraph; it is the corpus's only empty
-    // paragraph so it keeps itself
+    // null text == "" == one blank paragraph — structural, kept
     assert(got(11L) === (("", 1, 1L)))
+    assert(got(13L) === (("alpha thirteen\n\nbeta thirteen", 3, 3L)),
+      "blank separators must survive in every doc, not just the first")
+    assert(got(15L) === (("gamma fifteen\n\ndelta fifteen", 3, 3L)))
   }
 
   test("repetition columns: null text reports (0, 0, 0.0), repeated grams counted") {

@@ -84,6 +84,21 @@ class TopKBySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("bigint key keeps its type and ties break NUMERICALLY (2 before 10)") {
+    // regression: an implicit cast-to-string would both flip this tie-break
+    // (UTF8String "10" < "2") and change the output schema to string —
+    // diverging from the row_number window twin and the DuckDB oracle
+    val df = Seq((1L, 2L, 5.0), (1L, 10L, 5.0), (2L, 30L, 1.0), (2L, 4L, 2.0))
+      .toDF("grp", "doc_id", "quality")
+    val out = df.groupBy("grp")
+      .agg(GeoFunctionsImpl.topk_by(col("quality"), col("doc_id"), 1).as("top"))
+      .select(col("grp"), element_at(col("top"), 1).getField("key").as("keeper"))
+    assert(out.schema("keeper").dataType === org.apache.spark.sql.types.LongType,
+      "keeper must keep the key's input type")
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 4L))
+  }
+
   test("groups smaller than k return all members, null score/key rows skipped") {
     val small = Seq(
       (1L, Some("a"), Some(2.0)), (1L, Some("b"), None), (1L, None, Some(9.0)),
