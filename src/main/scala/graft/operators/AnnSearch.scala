@@ -32,19 +32,34 @@ object AnnSearch {
     org.apache.spark.sql.graft.VecFunctionsImpl.vec_cosine(a, b)
 
   /**
+   * Per-probe (cos desc, id asc) top-k via the k-bounded `topk_by` aggregate
+   * ([[org.apache.spark.sql.graft.TopKByAgg]]): only k-entry buffers cross
+   * the shuffle (map-side combine), so the ranking stage's shuffle volume is
+   * candidate-count-independent — the `row_number()` window form (kept as
+   * the q21/q23 DuckDB oracle twin) must shuffle AND sort every scored
+   * candidate row per probe, which at 10^12 rows × nprobe lists is the
+   * query's largest intermediate. Output rows are exactly the window's:
+   * (probe_id, idCol, cos, rnk) with 1-based rnk, ties by id ascending.
+   */
+  private def boundedTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored.groupBy("probe_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("cos"), col(idCol), k).as("tk"))
+      .select(col("probe_id"), explode(col("tk")).as("e"))
+      .select(col("probe_id"), col("e.key").as(idCol),
+        col("e.score").as("cos"), col("e.rnk").as("rnk"))
+
+  /**
    * Brute-force cosine top-k: every probe scores every row.
    * probes: (probe_id, pvec); table: (idCol, vecCol). Output:
    * (probe_id, vec_id, cos, rnk) with deterministic (cos desc, vec_id asc).
    */
   def bruteTopK(table: DataFrame, probes: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = table.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(probes.select(col("probe_id"), col("pvec"))))
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("probe_id"), col(idCol), col("cos"), col("rnk"))
+    boundedTopK(scored, k, idCol)
   }
 
   /**
@@ -56,7 +71,6 @@ object AnnSearch {
               dim: Int = 64, planes: Int = 8, bands: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               multiprobe: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = table.select(col(idCol), col(vecCol),
       posexplode(Dedup.lshBuckets(col(vecCol), dim, planes, bands)).as(Seq("band", "bucket")))
     val p0 = probes.select(col("probe_id"), col("pvec"),
@@ -78,8 +92,7 @@ object AnnSearch {
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
       .groupBy(col("probe_id"), col(idCol))
       .agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    boundedTopK(scored, k, idCol)
   }
 
   /**
@@ -93,7 +106,6 @@ object AnnSearch {
   def ivfTopK(table: DataFrame, probes: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = table.sparkSession
     import spark.implicits._
     // bounded, deterministic fit sample: an id-range predicate pushes to the
@@ -135,8 +147,7 @@ object AnnSearch {
     val scored = assigned.join(broadcast(probeLists.select("probe_id", "pvec", "list_id")), Seq("list_id"))
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
       .select(col("probe_id"), col(idCol), col("cos"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    boundedTopK(scored, k, idCol)
   }
 
   /**
@@ -151,7 +162,6 @@ object AnnSearch {
   def ivfFixedTopK(table: DataFrame, probes: DataFrame, k: Int,
                    nlist: Int = 16, nprobe: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = table.sparkSession
     import spark.implicits._
     val centroids: Array[(Long, Array[Double])] = table
@@ -183,8 +193,7 @@ object AnnSearch {
     val scored = assigned.join(broadcast(probeLists), Seq("list_id"))
       .withColumn("cos", cosine(col(vecCol), col("pvec")))
       .select(col("probe_id"), col(idCol), col("cos"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    boundedTopK(scored, k, idCol)
   }
 
   /** Deterministic Lloyd's k-means (driver-side; centroids are tiny). */

@@ -244,6 +244,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN ranking (q21, q23) is a bounded aggregate — no Window, no per-probe Sort") {
+    // every ANN path (brute / LSH / IVF) ends in a per-probe (cos desc, id)
+    // top-k; the bounded topk_by aggregate ships k-entry buffers (map-side
+    // combine) where the window form (kept as the DuckDB oracle twin) would
+    // shuffle + sort every scored candidate row — at 10^12 rows the scored
+    // table is the query's largest intermediate
+    val qs = Seq(
+      "q21" -> graft.SparkEntry.queries("q21_ann_topk")(spark, sf),
+      "q23" -> graft.SparkEntry.queries("q23_ann_ivf")(spark, sf))
+    qs.foreach { case (name, q) =>
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("Window"), s"$name must not plan a Window:\n$plan")
+      assert(!plan.linesIterator.exists(_.matches(""".*(\+- |\*\(\d+\) |^)Sort \[.*""")),
+        s"$name must not sort scored candidate rows:\n$plan")
+      assert(plan.contains("partial_topk_by"),
+        s"$name should partial-aggregate topk_by buffers map-side:\n$plan")
+    }
+  }
+
   test("decontamination (q56) broadcasts the eval shingle set — no shuffle of training shingles") {
     // the eval corpus is small by definition; its distinct shingle set must
     // arrive as a BroadcastHashJoin build side, never force a sort-merge
