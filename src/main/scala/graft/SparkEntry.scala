@@ -590,6 +590,20 @@ object SparkEntry {
       graft.operators.Dedup.paragraphDedup(
         t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
     }),
+    "q66_span_dedup" -> ((s, dir) => {
+      // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
+      // planted 14-token footer appended to every 5th doc: each footer
+      // occurrence after the first must lose all its tokens, every
+      // reassembled doc is hash-gated against the DuckDB replay of the
+      // identical keeper/cover/reassemble steps
+      val txt = coalesce(col("text"), lit(""))
+      val injected = when(col("doc_id") % 5 === 0,
+        concat(txt, lit(" the standard license footer text appears verbatim " +
+          "at the bottom of every mirrored page")))
+        .otherwise(txt)
+      graft.operators.Dedup.spanDedup(
+        t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
+    }),
     "q63_mixture_sample" -> ((s, dir) =>
       // weighted per-source mixture sampling: downsample src0 to 50%,
       // src7 to 25%, drop src19, keep the rest — deterministic
@@ -827,6 +841,20 @@ object SparkEntry {
       // TextStatsSpec replays the formula with the same Math.log, and the
       // determinism probe covers cross-parallelism stability.
       graft.functions.TextFunctions.tfidfTopTerms(t(s, dir, "documents"))),
+    "g9_bm25" -> ((s, dir) => {
+      // BM25 retrieval: every 97th doc's first 5 tokens become a query, so
+      // each query's source doc is a guaranteed hit and ranking exercises
+      // real df/dl variance. ln() is engine-specific (the g8 reason — no
+      // DuckDB row); TextStatsSpec replays the exact formula with
+      // StrictMath.log and the identical sorted-fold sum order, and the
+      // score itself is partitioning-independent by construction, so the
+      // 4-vs-8-core determinism probe pins it.
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(coalesce(col("text"), lit("")), " "), 1, 5)).as("query"))
+      graft.functions.TextFunctions.bm25TopDocs(docs, qs, k = 10)
+    }),
     "g7_hll_distinct" -> ((s, dir) =>
       // q30's sketch twin: HyperLogLog distinct users per event type beside
       // the exact count. The estimate is a pure function of the value SET
@@ -1537,6 +1565,41 @@ object SparkEntry {
                 CAST(len(l.lines) AS INT) AS n_paras,
                 CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
          FROM lx l LEFT JOIN re ON l.doc_id = re.doc_id""",
+    "q66_span_dedup" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id %% 5 = 0
+                       THEN COALESCE(text, '') || ' the standard license footer text appears verbatim at the bottom of every mirrored page'
+                       ELSE COALESCE(text, '') END AS t
+           FROM documents),
+         tk AS (SELECT doc_id, string_split(t, ' ') AS w,
+                       string_split(lower(t), ' ') AS lw
+                FROM inj),
+         g AS (SELECT doc_id,
+                 unnest([i FOR i IN range(0, GREATEST(len(w) - 7, 0))]) AS pos,
+                 unnest([lw[i+1] || ' ' || lw[i+2] || ' ' || lw[i+3] || ' ' || lw[i+4] || ' ' ||
+                         lw[i+5] || ' ' || lw[i+6] || ' ' || lw[i+7] || ' ' || lw[i+8]
+                         FOR i IN range(0, GREATEST(len(w) - 7, 0))]) AS gram
+               FROM tk),
+         d AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY gram) AS c,
+                      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+               FROM g),
+         cov AS (SELECT DISTINCT doc_id, unnest([pos + j FOR j IN range(0, 8)]) AS tp
+                 FROM d WHERE c > 1 AND rn > 1),
+         tok AS (SELECT doc_id, unnest([i FOR i IN range(0, len(w))]) AS pos,
+                        unnest(w) AS tok
+                 FROM tk),
+         keep AS (SELECT t1.doc_id, t1.pos, t1.tok
+                  FROM tok t1 LEFT JOIN cov ON t1.doc_id = cov.doc_id AND t1.pos = cov.tp
+                  WHERE cov.tp IS NULL),
+         re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM keep GROUP BY 1)
+         SELECT k.doc_id, COALESCE(re.text, '') AS text,
+                CAST(len(k.w) AS INT) AS n_tokens,
+                CAST(len(k.w) - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed
+         FROM tk k LEFT JOIN re ON k.doc_id = re.doc_id""",
     "q63_mixture_sample" ->
       """WITH h AS (SELECT doc_id, source,
                            md5(CAST(doc_id AS VARCHAR) || 'mix') AS hx

@@ -321,6 +321,70 @@ object TextFunctions {
         col("e.rnk").as("rnk"))
   }
 
+  /**
+   * BM25 retrieval: top-k documents per query under the Lucene/Robertson
+   * BM25 formula — idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), contribution
+   * per query term = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), summed
+   * over the query's DISTINCT terms (the standard simple variant; query-side
+   * term weighting is out of scope). N = total corpus docs, dl = the doc's
+   * non-empty token count, avgdl = Σdl / N — both integral sums, so avgdl is
+   * bit-deterministic. The per-(query, doc) score is folded over the term
+   * contributions in SORTED term order (`sort_array` + `aggregate`), so the
+   * floating sum never depends on partitioning — the determinism-probe
+   * contract every g-query rides. ln() is engine-specific (StrictMath here),
+   * so like TF-IDF (g8) this has a driver StrictMath replay, not a DuckDB row.
+   *
+   * Scale shape: queries are small by definition → their distinct term set
+   * broadcasts; the corpus tf table is semi-filtered by that broadcast at
+   * the scan, so df/score work touches only docs containing a query term;
+   * doc length attaches by doc_id equi-join (ids-only columns); final
+   * ranking is the k-bounded `topk_by` aggregate — no Window, no full sort,
+   * only k-entry buffers per query cross the shuffle.
+   */
+  def bm25TopDocs(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  qIdCol: String = "query_id", qTextCol: String = "query"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("tok_total"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("tok_total").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(graft.operators.Dedup.tokens(col(qTextCol)))).as("term"))
+      .where(length(col("term")) > 0)
+    // candidate tf rows: only query terms survive the broadcast semi join,
+    // and df for those terms is exact on the filtered set (df = number of tf
+    // rows per term, and filtering by term drops no row of a kept term)
+    val tfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = tfq
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("ws"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("ws"), lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.key").as("doc_id"),
+        col("e.score").as("score"), col("e.rnk").as("rnk"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

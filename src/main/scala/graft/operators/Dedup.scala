@@ -295,6 +295,69 @@ object Dedup {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /**
+   * Corpus-wide duplicate-SPAN removal — the fixed-window approximation of
+   * suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): any k-token window whose
+   * lowercased text occurs more than once across the corpus is a duplicated
+   * span; every occurrence except the first — (doc_id, token position)
+   * lexicographic minimum — has its k tokens removed, and documents are
+   * reassembled in original token order. A duplicated run of L ≥ k tokens
+   * yields L−k+1 duplicated windows whose union covers the whole run, so
+   * spans of any length ≥ k are removed in full; the same doc repeating a
+   * phrase internally self-dedups (the Gopher-repetition complement). The
+   * suffix-array formulation needs a global sort the cluster would pay in
+   * O(corpus) shuffled TEXT; this k-gram form shuffles only digests.
+   *
+   * Scale shape: windows come from the one-pass codegen `shingle_make`
+   * kernel and shuffle as (md5, doc_id, pos) — 16-byte digests, never text.
+   * Duplicated-window groups are a map-side-combined (min-struct, count)
+   * aggregate; loser occurrences expand to covered token positions with a
+   * codegen `sequence` + explode and come back as ONE positions-only row
+   * per doc (map-side-combined collect_set). Text then crosses the wire
+   * exactly once, on the doc_id equi-join whose hash partitioning the
+   * reassembly groupBy reuses (the q64 shape). Output: (doc_id, text,
+   * n_tokens, n_removed). Matching is on lowercased windows; removal strips
+   * the original-case tokens — both sides of the q66 oracle replay this.
+   */
+  def spanDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val txt = coalesce(col(textCol), lit(""))
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
+        txt, lit(k))).as(Seq("pos", "gram")))
+    val hashed = grams.select(col("doc_id"), col("pos"),
+      md5(col("gram").cast("binary")).as("h"))
+    // duplicated windows only; keeper = lexicographic-min occurrence
+    val dups = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"), count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .select(col("h"), col("keep"))
+    val losers = hashed.join(dups, Seq("h"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("keep"))
+      .select(col("doc_id"), col("pos"))
+    // union of covered token positions, one array row per doc
+    val covered = losers
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(txt, " ")).as(Seq("pos", "tok")))
+    val parts = toks.join(covered, Seq("doc_id"), "left")
+      .where(!coalesce(array_contains(col("cov"), col("pos")), lit(false)))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        array_join(col("ps").getField("tok"), " ").as("text"), col("n_kept"))
+    val counts = docs.select(col(idCol).as("doc_id"),
+      size(split(txt, " ")).as("n_tokens"))
+    counts.join(parts, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), coalesce(col("text"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact all-pairs n-gram Jaccard (test oracle; O(n²), small scale only). */
   def bruteForceJaccard(docs: Seq[(Long, String)], minJaccard: Double): Set[(Long, Long, Double)] = {
     val tok = docs.map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }

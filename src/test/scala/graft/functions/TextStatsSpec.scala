@@ -38,6 +38,48 @@ class TextStatsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("bm25TopDocs == exact driver replay (StrictMath idf, sorted-fold sum)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val n = rows.length
+    val termsPerDoc = rows.map { case (id, t) =>
+      id -> Option(t).getOrElse("").toLowerCase.split(" ").filter(_.nonEmpty)
+    }
+    val tf = termsPerDoc.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, o) => ((id, w), o.length.toLong) }
+    }.toMap
+    val dl = termsPerDoc.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val dfm = termsPerDoc.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val k1 = 1.2; val b = 0.75; val kTop = 10
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    // query set: first 5 raw tokens of every 17th doc (the g9 recipe at a
+    // modulus that yields several queries at sf0.001)
+    val queries = rows.filter(_._1 % 17 == 0).map { case (id, t) =>
+      id -> Option(t).getOrElse("").split(" ").take(5).mkString(" ") }
+    val want = queries.flatMap { case (qid, qtext) =>
+      val qts = qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct
+      val cands = termsPerDoc.map(_._1).filter(d => qts.exists(t => tf.contains((d, t))))
+      cands.map { d =>
+        // fold in sorted-term order, exactly as the sort_array + aggregate
+        val score = qts.filter(t => tf.contains((d, t))).sorted
+          .foldLeft(0.0) { (acc, t) =>
+            val dfv = dfm(t).toDouble; val tfv = tf((d, t)).toDouble
+            val idf = StrictMath.log(1.0 + (n.toDouble - dfv + 0.5) / (dfv + 0.5))
+            acc + idf * (tfv * (k1 + 1.0)) /
+              (tfv + k1 * ((1.0 - b) + b * dl(d).toDouble / avgdl))
+          }
+        (qid, d, score)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(kTop).zipWithIndex
+        .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+    }.toSet
+    val qdf = spark.createDataset(queries.toSeq).toDF("query_id", "query")
+    val got = TextFunctions.bm25TopDocs(docs, qdf, k = kTop)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(want.nonEmpty && want.exists(_._4 > 1), "fixture should rank >1 doc")
+    assert(got === want)
+  }
+
   test("topNgramMass: mass is a true fraction — self-overlapping grams clamp to 1.0") {
     val docs = Seq(
       (1L, "a a a a"),          // "a a" occurs 3x overlapping: unclamped 1.5
