@@ -841,6 +841,20 @@ object SparkEntry {
       // TextStatsSpec replays the formula with the same Math.log, and the
       // determinism probe covers cross-parallelism stability.
       graft.functions.TextFunctions.tfidfTopTerms(t(s, dir, "documents"))),
+    "g10_pq_ann" -> ((s, dir) => {
+      // product-quantization ANN (32× code compression + ADC shortlist +
+      // exact cosine re-rank). The k-means codebooks and float L2 are not
+      // ANSI-replicable, so like g6/g8 this is gated in ScalaTest
+      // (DedupAnnSpec: kernel-exactness, recall vs brute force, self-hit,
+      // rerun determinism) and rides the cross-parallelism probe — the
+      // whole pipeline is content-derived (bounded id-range sample,
+      // deterministic Lloyd iterations, first-wins argmin encode).
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      graft.operators.AnnSearch.pqTopK(e, probes, k = 5, m = 8, ksub = 16, rerank = 50)
+        .select("probe_id", "vec_id", "rnk")
+    }),
     "g9_bm25" -> ((s, dir) => {
       // BM25 retrieval: every 97th doc's first 5 tokens become a query, so
       // each query's source doc is a guaranteed hit and ranking exercises

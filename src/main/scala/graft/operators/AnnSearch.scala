@@ -196,6 +196,80 @@ object AnnSearch {
     boundedTopK(scored, k, idCol)
   }
 
+  /**
+   * Product-quantization ANN (Jégou et al., TPAMI 2011) — the memory-scale
+   * path: vectors compress to `m` bytes (one sub-centroid id per subspace),
+   * so the scored scan reads the m-byte `code` column instead of 4·dim-byte
+   * vectors (32× for 64-float embeddings) — at 10^12 rows the code column IS
+   * the stored index. Probes broadcast with a precomputed ADC lookup table
+   * (m·ksub doubles, ~1 KB each); the approximate distance is `m` array
+   * reads per candidate in one codegen projection (`pq_adc` — no reference
+   * object, no join). With `rerank > 0` the standard two-stage pipeline
+   * runs: top-`rerank` by ADC (k-bounded `topk_by`, map-side combined),
+   * full vectors re-fetched by equi-join for only |probes|·rerank rows,
+   * exact cosine re-rank — the family's output shape
+   * (probe_id, idCol, cos, rnk). With `rerank = 0` output is
+   * (probe_id, idCol, d2a, rnk) by (ADC asc, id asc).
+   *
+   * Codebooks: deterministic per-subspace Lloyd's k-means over the same
+   * bounded id-range sample as [[ivfTopK]] — everything is content-derived,
+   * so results are partitioning-invariant (the determinism-probe contract).
+   */
+  def pqTopK(table: DataFrame, probes: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 5, rerank: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val sampleN = math.max(1000, ksub * 40)
+    val ranged = table.select(col(idCol), col(vecCol))
+      .where(col(idCol) < lit(sampleN.toLong))
+      .as[(Long, Array[Float])].collect()
+    val sample = (if (ranged.length >= ksub) ranged
+      else table.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(sampleN)
+        .as[(Long, Array[Float])].collect()).sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, "pqTopK: table has no rows to fit codebooks from")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val ks = math.min(ksub, sample.length)
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeans(sub, ks, iters)
+    }
+    val pq = new org.apache.spark.sql.graft.PqCodebooks(m, ks, dsub, books)
+
+    // encode is a single codegen projection over the scan; scoring reads
+    // ONLY (id, code) — the compressed representation
+    val codes = table.select(col(idCol),
+      org.apache.spark.sql.graft.VecFunctionsImpl.pq_encode(col(vecCol), pq).as("code"))
+    val probesL = probes.select(col("probe_id"),
+      org.apache.spark.sql.graft.VecFunctionsImpl.pq_lut(col("pvec"), pq).as("lut"))
+    val scored = codes.crossJoin(broadcast(probesL))
+      .select(col("probe_id"), col(idCol),
+        org.apache.spark.sql.graft.VecFunctionsImpl.pq_adc(col("code"), col("lut")).as("d2a"))
+    if (rerank <= 0) {
+      scored.groupBy("probe_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+          -col("d2a"), col(idCol), k).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("e"))
+        .select(col("probe_id"), col("e.key").as(idCol),
+          (-col("e.score")).as("d2a"), col("e.rnk").as("rnk"))
+    } else {
+      val cand = scored.groupBy("probe_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+          -col("d2a"), col(idCol), math.max(rerank, k)).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("e"))
+        .select(col("probe_id"), col("e.key").as(idCol))
+      val exact = cand
+        .join(table.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(broadcast(probes.select(col("probe_id"), col("pvec"))), Seq("probe_id"))
+        .withColumn("cos", cosine(col(vecCol), col("pvec")))
+        .select(col("probe_id"), col(idCol), col("cos"))
+      boundedTopK(exact, k, idCol)
+    }
+  }
+
   /** Deterministic Lloyd's k-means (driver-side; centroids are tiny). */
   def kmeans(vecs: Array[Array[Float]], kIn: Int, iters: Int): Array[Array[Double]] = {
     val k = math.min(kIn, vecs.length)

@@ -165,10 +165,157 @@ case class IvfAssignExpr(child: Expression, index: IvfCentroids)
   override def prettyName: String = "ivf_assign"
 }
 
+/**
+ * Product-quantization codebooks (Jégou/Douze/Schmid, "Product Quantization
+ * for Nearest Neighbor Search", TPAMI 2011): the vector space is split into
+ * `m` subspaces of `dsub` dims; each subspace has its own `ksub`-centroid
+ * codebook; a vector encodes to `m` bytes (nearest sub-centroid per
+ * subspace) — a 64-float embedding compresses 32× to 8 bytes. Queries use
+ * ADC (asymmetric distance): a per-probe lookup table of
+ * ||q_s − centroid_{s,c}||² makes the approximate distance `m` array reads
+ * per candidate. The codebooks ride the plan as a reference object (the
+ * ivf_assign pattern) so encode and LUT build are single codegen
+ * projections — no join, no Encoder round-trip.
+ */
+final class PqCodebooks(val m: Int, val ksub: Int, val dsub: Int,
+                        val cents: Array[Array[Array[Double]]]) extends Serializable {
+  require(m > 0 && ksub > 0 && ksub <= 256 && cents.length == m &&
+    cents.forall(cb => cb.length == ksub && cb.forall(_.length == dsub)),
+    s"malformed PQ codebooks (m=$m, ksub=$ksub, dsub=$dsub)")
+
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** m-byte PQ code: per subspace the argmin-d² sub-centroid (first-wins). */
+  def encode(a: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = cents(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val dx = elem(a, off + i, isFloat) - ctr(i); d += dx * dx; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC table for one probe: lut[s·ksub + c] = ||q_s − centroid_{s,c}||². */
+  def lut(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cb = cents(s)
+      val off = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val dx = elem(a, off + i, isFloat) - ctr(i); d += dx * dx; i += 1 }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object PqKernels {
+  /** ADC distance: Σ_s lut[s·ksub + code[s]]; ksub derives from the shapes,
+    * so the scoring expression needs no reference object at all. */
+  def adc(code: Array[Byte], lut: ArrayData): Double = {
+    val m = code.length
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getDouble(i * ksub + (code(i) & 0xff)); i += 1 }
+    s
+  }
+}
+
+sealed trait PqVecExpr extends UnaryExpression {
+  protected def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got $other")
+    }
+}
+
+/** pq_encode(vec) → m-byte code; codebooks ride the plan. */
+case class PqEncodeExpr(child: Expression, books: PqCodebooks) extends PqVecExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    books.encode(a.asInstanceOf[ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, classOf[PqCodebooks].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** pq_lut(pvec) → array<double> of m·ksub squared sub-distances. */
+case class PqLutExpr(child: Expression, books: PqCodebooks) extends PqVecExpr {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    books.lut(a.asInstanceOf[ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, classOf[PqCodebooks].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.lut($a, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_lut"
+}
+
+/** pq_adc(code, lut) → approximate squared L2; plain codegen, no ref obj. */
+case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, array<double>), got $l / $r")
+    }
+  override def nullSafeEval(code: Any, lut: Any): Any =
+    PqKernels.adc(code.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"org.apache.spark.sql.graft.PqKernels.adc($c, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 object VecFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def vec_dot(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column = column(CosineExpr(expression(a), expression(b)))
   def ivf_assign(vec: Column, centroids: IvfCentroids): Column =
     column(IvfAssignExpr(expression(vec), centroids))
+  def pq_encode(vec: Column, books: PqCodebooks): Column =
+    column(PqEncodeExpr(expression(vec), books))
+  def pq_lut(pvec: Column, books: PqCodebooks): Column =
+    column(PqLutExpr(expression(pvec), books))
+  def pq_adc(code: Column, lut: Column): Column =
+    column(PqAdcExpr(expression(code), expression(lut)))
 }

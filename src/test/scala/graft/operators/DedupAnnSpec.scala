@@ -280,6 +280,56 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("PQ kernels: encode is per-subspace argmin, ADC equals the naive table sum") {
+    import org.apache.spark.sql.graft.PqCodebooks
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // m=2 subspaces of dsub=2, ksub=3 hand-built codebooks
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(5.0, 5.0)),
+      Array(Array(0.0, 1.0), Array(2.0, 2.0), Array(9.0, 0.0)))
+    val pq = new PqCodebooks(2, 3, 2, books)
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    val v = arr(0.9, 1.2, 8.5, 0.4) // sub0 → centroid 1, sub1 → centroid 2
+    val code = pq.encode(v, isFloat = false)
+    assert(code.toSeq === Seq(1.toByte, 2.toByte))
+    val q = arr(1.0, 0.0, 3.0, 3.0)
+    val lut = pq.lut(q, isFloat = false)
+    // naive: ||q_s - centroid||² per (s, c)
+    val naive = for (s <- 0 until 2; c <- 0 until 3) yield {
+      val off = s * 2
+      (0 until 2).map(i => math.pow(Seq(1.0, 0.0, 3.0, 3.0)(off + i) - books(s)(c)(i), 2)).sum
+    }
+    assert((0 until 6).map(lut.getDouble) === naive)
+    val adc = org.apache.spark.sql.graft.PqKernels.adc(code, lut)
+    assert(adc === naive(1) + naive(5)) // code picks (s0,c1) and (s1,c2)
+  }
+
+  test("PQ ANN: rerank recall@5 >= 0.6 vs brute force; ADC path deterministic") {
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 50 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
+    // two-stage: ADC shortlist of 50 (10% of the table), exact cosine re-rank
+    val got = AnnSearch.pqTopK(embs, probes, k = 5, m = 8, ksub = 16, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = want.count(got.contains).toDouble / want.size
+    assert(recall >= 0.6, s"recall=$recall") // uniform-random: hardest case for PQ
+    // probes are table rows: the probe's own vector has ADC = its quantization
+    // error (small) and exact cos = 1 → must be its own rank-1 hit
+    val self = AnnSearch.pqTopK(embs, probes, k = 1, m = 8, ksub = 16, rerank = 50)
+      .where(col("rnk") === 1).select("probe_id", "vec_id")
+      .as[(Long, Long)].collect()
+    val selfHit = self.count(t => t._1 == t._2).toDouble / probeRows.size
+    assert(selfHit >= 0.9, s"self-hit fraction $selfHit")
+    // codes-only ADC path: content-derived end to end → rerun-identical
+    val a1 = AnnSearch.pqTopK(embs, probes, k = 5, m = 8, ksub = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val a2 = AnnSearch.pqTopK(embs, probes, k = 5, m = 8, ksub = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a1 === a2 && a1.nonEmpty)
+  }
+
   test("typedParse: reference ClazzUtils sniffing cascade semantics") {
     import graft.functions.TextFunctions.typedParse
     val d = Seq("true", "FALSE", "x", "7", "4711", "123456", "9999999999",
