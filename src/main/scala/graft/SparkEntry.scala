@@ -827,6 +827,16 @@ object SparkEntry {
       graft.operators.Dedup.imageNearDup(ImageGen.blockTable(s, 800), maxHamming = 10)
         .orderBy("doc_a", "doc_b")
     }),
+    "g11_phash_neardup" -> ((s, dir) => {
+      // the DCT-pHash twin of g5: recompression noise lands ~2-3 Hamming
+      // under pHash (vs ~6-10 for dHash), so the banded prefilter runs at
+      // radius 4 — fewer, more selective pigeonhole chunks. Same planted
+      // fixture, same exact one-pair-per-source expectation (pinned with
+      // the tight-radius exactness test in ImageOpsSpec).
+      graft.operators.Dedup.imageNearDup(ImageGen.blockTable(s, 800),
+          maxHamming = 4, algo = "phash")
+        .orderBy("doc_a", "doc_b")
+    }),
     "g6_banded_lsh" -> ((s, dir) =>
       // production-mode banded MinHash (16 bands × 4 rows, seeded 64-bit
       // hashes — the tunable recall knob the md5-slice q19 mode lacks). The

@@ -121,6 +121,85 @@ object ImageFunctions {
   private def lum(rgb: Int): Int =
     (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
 
+  // ---------------------------------------------------------------------
+  // DCT perceptual hash (the classic pHash scheme): 32×32 luminance plane →
+  // orthonormal 2-D DCT-II → keep the 8×8 low-frequency block → bit u,v set
+  // iff coefficient > mean of the 63 AC coefficients (DC excluded from the
+  // mean and its bit always 0). Robust to recompression/brightness noise
+  // where dHash flips gradient bits — the planted PNG/JPEG pairs land ~2-3
+  // Hamming under pHash vs ~6-10 under dHash (pinned in ImageOpsSpec).
+  // StrictMath.cos keeps the basis bit-identical across JVMs/platforms, so
+  // hashes are content-derived everywhere (the determinism contract).
+  // ---------------------------------------------------------------------
+
+  private val dctN = 32
+  /** Orthonormal DCT-II basis: tab(k)(n) = c(k)·cos(π(2n+1)k / 2N). */
+  private lazy val dctTab: Array[Array[Double]] = Array.tabulate(dctN, dctN) { (k, n) =>
+    val c = if (k == 0) StrictMath.sqrt(1.0 / dctN) else StrictMath.sqrt(2.0 / dctN)
+    c * StrictMath.cos(StrictMath.PI * (2 * n + 1) * k / (2.0 * dctN))
+  }
+
+  /** DCT perceptual hash of a decoded image; bit index = v·8 + u. */
+  def dctPhash64(bi: BufferedImage): Long = {
+    val small = resizeImage(bi, dctN, dctN)
+    val plane = new Array[Double](dctN * dctN)
+    var y = 0
+    while (y < dctN) {
+      var x = 0
+      while (x < dctN) { plane(y * dctN + x) = lum(small.getRGB(x, y)).toDouble; x += 1 }
+      y += 1
+    }
+    // separable 2-D DCT-II, but only the first 8 output frequencies per axis
+    // are ever used: compute rows→8 cols, then cols→8 rows (32×8 temp)
+    val tmp = new Array[Double](dctN * 8) // tmp(y*8 + u) = Σ_x plane(y,x)·tab(u)(x)
+    y = 0
+    while (y < dctN) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < dctN) { s += plane(y * dctN + x) * dctTab(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64) // coef(v*8 + u)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < dctN) { s += tmp(yy * 8 + u) * dctTab(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < 64) { mean += coef(i); i += 1 }
+    mean /= 63.0
+    var h = 0L
+    i = 1
+    while (i < 64) { if (coef(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  final case class PerceptualHash(image_id: String, phash_dct: Long)
+
+  /** Distributed DCT pHash extraction — same map-only decode shape as
+    * [[extractFeatures]] (scan pruned to (id, bytes), no shuffle). */
+  def dctHashes(imgs: DataFrame): Dataset[PerceptualHash] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select("image_id", "bytes").as[(String, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { case (id, bytes) => PerceptualHash(id, dctPhash64(ImageGen.decode(bytes))) }
+    }
+  }
+
   /**
    * Per-row payload verification vs the deterministic source (input_hint
    * invariant: decoded pixels allclose — PSNR ≥ 40 dB lossy / exact lossless —

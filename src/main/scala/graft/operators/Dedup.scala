@@ -421,9 +421,18 @@ object Dedup {
    * pixels.
    */
   def imageNearDup(imgs: DataFrame, idCol: String = "image_id",
-                   maxHamming: Int = 6): DataFrame = {
-    val sigs = graft.functions.ImageFunctions.extractFeatures(imgs)
-      .select(col("image_id").as(idCol), col("dhash"))
+                   maxHamming: Int = 6, algo: String = "dhash"): DataFrame = {
+    val sigs = algo match {
+      case "dhash" => graft.functions.ImageFunctions.extractFeatures(imgs)
+        .select(col("image_id").as(idCol), col("dhash"))
+      // DCT pHash: tighter under recompression noise — the planted PNG/JPEG
+      // pairs sit ~2-3 Hamming apart vs ~6-10 for dHash, so the banded
+      // prefilter runs at a smaller radius (fewer, more selective chunks)
+      case "phash" => graft.functions.ImageFunctions.dctHashes(imgs)
+        .select(col("image_id").as(idCol), col("phash_dct").as("dhash"))
+      case other => throw new IllegalArgumentException(
+        s"imageNearDup: unknown algo '$other' (dhash | phash)")
+    }
     simhashPairs(sigs, idCol, maxHamming, sigCol = "dhash")
   }
 

@@ -48,6 +48,22 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(f.map(_.mean_b).distinct.length > 10)
   }
 
+  test("DCT pHash: planted PNG/JPEG pairs near, distinct blocks far, exact banded retrieval") {
+    val blocks = ImageGen.blockTable(spark, 60)
+    val ph = ImageFunctions.dctHashes(blocks).collect()
+      .map(r => r.image_id -> r.phash_dct).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val intra = (0 until 60).map(i => ham(ph(f"blk_$i%06d_o"), ph(f"blk_$i%06d_v")))
+    val inter = (0 until 59).map(i => ham(ph(f"blk_$i%06d_o"), ph(f"blk_${i + 1}%06d_o")))
+    assert(intra.max <= 4, s"recompression noise should stay tiny, max=${intra.max}")
+    assert(inter.min > 10, s"distinct blocks must stay far, min=${inter.min}")
+    // banded retrieval at the tight radius returns EXACTLY the planted pairs
+    val pairs = graft.operators.Dedup.imageNearDup(blocks, maxHamming = 4, algo = "phash")
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    val want = (0 until 60).map(i => (f"blk_$i%06d_o", f"blk_$i%06d_v")).toSet
+    assert(pairs === want)
+  }
+
   test("verifyPayload: all generated rows pass; corrupted caption fails") {
     val checks = ImageFunctions.verifyPayload(imgs).collect()
     assert(checks.length === 120 && checks.forall(_.pass))
