@@ -590,6 +590,29 @@ object SparkEntry {
       graft.operators.Dedup.paragraphDedup(
         t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
     }),
+    "q67_ring_measures" -> ((s, dir) => {
+      // shoelace area + centroid (codegen st_area/st_centroid kernels) over
+      // arithmetic-derived L-shaped hexagon rings. All coordinates are
+      // dyadic rationals, so every shoelace term and partial sum is exact in
+      // binary FP — the double outputs hash-compare bit-exactly against
+      // DuckDB even though SQL guarantees no sum order, and the final
+      // centroid division is a single IEEE op on identical operands.
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.{st_area, st_centroid}
+      val pk = col("p_partkey").cast("long")
+      // Column `/` is DOUBLE division — `div` is the integer quotient the
+      // oracle's `//` computes
+      val cx = (pk % 10).cast("double") * 4.0
+      val cy = expr("CAST(p_partkey AS BIGINT) div 10").cast("double") * 4.0
+      val w = lit(1.0) + (pk % 4).cast("double") * 0.5
+      val h = lit(1.0) + (expr("CAST(p_partkey AS BIGINT) div 4") % 4).cast("double") * 0.25
+      val xs = array(cx, cx + w, cx + w, cx + w * 0.5, cx + w * 0.5, cx)
+      val ys = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), st_area(xs, ys).as("area"),
+          st_centroid(xs, ys).as("c"))
+        .select(col("poly_id"), col("area"),
+          col("c.cx").as("cx"), col("c.cy").as("cy"))
+    }),
     "q66_span_dedup" -> ((s, dir) => {
       // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
       // planted 14-token footer appended to every 5th doc: each footer
@@ -1589,6 +1612,31 @@ object SparkEntry {
                 CAST(len(l.lines) AS INT) AS n_paras,
                 CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
          FROM lx l LEFT JOIN re ON l.doc_id = re.doc_id""",
+    "q67_ring_measures" ->
+      """WITH p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                  CAST(p_partkey %% 10 AS DOUBLE) * 4.0::DOUBLE AS cx,
+                  CAST((p_partkey // 10) AS DOUBLE) * 4.0::DOUBLE AS cy,
+                  1.0::DOUBLE + CAST(p_partkey %% 4 AS DOUBLE) * 0.5::DOUBLE AS w,
+                  1.0::DOUBLE + CAST((p_partkey // 4) %% 4 AS DOUBLE) * 0.25::DOUBLE AS h
+           FROM part WHERE p_partkey < 200),
+         v AS (SELECT poly_id,
+                 [cx, cx + w, cx + w, cx + w * 0.5::DOUBLE, cx + w * 0.5::DOUBLE, cx] AS xs,
+                 [cy, cy, cy + h * 0.5::DOUBLE, cy + h * 0.5::DOUBLE, cy + h, cy + h] AS ys
+               FROM p),
+         s AS (SELECT poly_id,
+                 list_sum([xs[i] * ys[(i %% len(xs)) + 1] - xs[(i %% len(xs)) + 1] * ys[i]
+                           FOR i IN range(1, len(xs) + 1)]) AS ss,
+                 list_sum([(xs[i] + xs[(i %% len(xs)) + 1]) *
+                           (xs[i] * ys[(i %% len(xs)) + 1] - xs[(i %% len(xs)) + 1] * ys[i])
+                           FOR i IN range(1, len(xs) + 1)]) AS sx,
+                 list_sum([(ys[i] + ys[(i %% len(xs)) + 1]) *
+                           (xs[i] * ys[(i %% len(xs)) + 1] - xs[(i %% len(xs)) + 1] * ys[i])
+                           FOR i IN range(1, len(xs) + 1)]) AS sy
+               FROM v)
+         SELECT poly_id, abs(ss) * 0.5::DOUBLE AS area,
+                sx / (ss * 3.0::DOUBLE) AS cx, sy / (ss * 3.0::DOUBLE) AS cy
+         FROM s""",
     "q66_span_dedup" ->
       """WITH inj AS (
            SELECT doc_id,

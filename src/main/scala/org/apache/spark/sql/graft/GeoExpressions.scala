@@ -331,6 +331,85 @@ case class HexCoverExpr(left: Expression, right: Expression)
   override def prettyName: String = "hex_cover"
 }
 
+/**
+ * Planar ring measures (shoelace formula, Gauss). Vertex order is the array
+ * order with an implicit last→first closing edge; the loop is a fixed
+ * ascending-index fold, so sums never depend on partitioning. On
+ * dyadic-rational coordinates (the oracle fixture) every term and partial
+ * sum is exact in binary FP, making the q67 DuckDB hash compare bit-exact
+ * even though SQL gives no sum-order guarantee.
+ */
+object RingKernels {
+  /** Signed shoelace sum Σᵢ (xᵢ·yⱼ − xⱼ·yᵢ), j = (i+1) mod n. Positive for
+    * counter-clockwise rings; degenerate (n < 3) rings sum to 0. */
+  def shoelace(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      s += xs.getDouble(i) * ys.getDouble(j) - xs.getDouble(j) * ys.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Unsigned polygon area = |shoelace| / 2. */
+  def area(xs: ArrayData, ys: ArrayData): Double =
+    math.abs(shoelace(xs, ys)) * 0.5
+
+  /** Polygon centroid (Cx, Cy) = (Σ(xᵢ+xⱼ)·crossᵢ, Σ(yᵢ+yⱼ)·crossᵢ) / (3·S)
+    * with S the signed shoelace sum — plain IEEE arithmetic (a zero-area
+    * ring yields ±Inf/NaN, same as the SQL replay). */
+  def centroid(xs: ArrayData, ys: ArrayData): InternalRow = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    val ss = shoelace(xs, ys)
+    var sx = 0.0
+    var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val cross = xs.getDouble(i) * ys.getDouble(j) - xs.getDouble(j) * ys.getDouble(i)
+      sx += (xs.getDouble(i) + xs.getDouble(j)) * cross
+      sy += (ys.getDouble(i) + ys.getDouble(j)) * cross
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sx / (ss * 3.0), sy / (ss * 3.0)))
+  }
+}
+
+/** st_area(xs, ys) → unsigned shoelace area; fully codegen. */
+case class StAreaExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernels.area(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.RingKernels.area($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_area"
+}
+
+/** st_centroid(xs, ys) → struct<cx, cy>; fully codegen. */
+case class StCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType =
+    new StructType().add("cx", DoubleType).add("cy", DoubleType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernels.centroid(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.RingKernels.centroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_centroid"
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -357,6 +436,10 @@ object GeoFunctionsImpl {
     column(KnnMatchesExpr(expression(x), expression(y), index))
   def hex_ring(x: Column, y: Column, res: Column, r: Column): Column =
     column(HexRingExpr(expression(x), expression(y), expression(res), expression(r)))
+  def st_area(xs: Column, ys: Column): Column =
+    column(StAreaExpr(expression(xs), expression(ys)))
+  def st_centroid(xs: Column, ys: Column): Column =
+    column(StCentroidExpr(expression(xs), expression(ys)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
   def knn_topk(d2: Column, id: Column, k: Int): Column =
     column(KnnTopKAgg(expression(d2), expression(id), k).toAggregateExpression())
@@ -380,6 +463,8 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_area", es => StAreaExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_centroid", es => StCentroidExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("long_topk", LongTopKAgg.fromSql, "built-in")

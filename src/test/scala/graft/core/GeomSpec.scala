@@ -92,6 +92,27 @@ class GeomSpec extends AnyFunSuite {
     assert(checked > 5000)
   }
 
+  test("RingKernels: shoelace area/centroid on known shapes, orientation-invariant area") {
+    import org.apache.spark.sql.graft.RingKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    // unit square CCW
+    assert(RingKernels.area(arr(0, 1, 1, 0), arr(0, 0, 1, 1)) === 1.0)
+    val c = RingKernels.centroid(arr(0, 1, 1, 0), arr(0, 0, 1, 1))
+    assert(c.getDouble(0) === 0.5 && c.getDouble(1) === 0.5)
+    // same square CW: unsigned area identical, centroid identical (sign cancels)
+    assert(RingKernels.area(arr(0, 0, 1, 1), arr(0, 1, 1, 0)) === 1.0)
+    val cw = RingKernels.centroid(arr(0, 0, 1, 1), arr(0, 1, 1, 0))
+    assert(cw.getDouble(0) === 0.5 && cw.getDouble(1) === 0.5)
+    // 3-4 right triangle: area 6, centroid = vertex mean
+    assert(RingKernels.area(arr(0, 4, 0), arr(0, 0, 3)) === 6.0)
+    val t = RingKernels.centroid(arr(0, 4, 0), arr(0, 0, 3))
+    assert(t.getDouble(0) === 4.0 / 3 && t.getDouble(1) === 1.0)
+    // degenerate rings: area 0
+    assert(RingKernels.area(arr(2, 7), arr(3, 9)) === 0.0)
+    assert(RingKernels.area(arr(5), arr(5)) === 0.0)
+  }
+
   test("property: PreparedPolygon agrees with Polygon.covers (seeded)") {
     val ring = Array(Pt(0, 0), Pt(20, 3), Pt(28, 15), Pt(14, 26), Pt(-3, 17), Pt(-6, 5))
     val hole = Array(Pt(5, 5), Pt(12, 6), Pt(11, 13), Pt(6, 12))
