@@ -304,6 +304,56 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(digestExchange, s"keeper decision must shuffle on the digest:\n$plan")
   }
 
+  test("span dedup (q66): keeper on digests via partial_min, one-pass gram kernel, no Window") {
+    // the duplicated-window decision must aggregate 16-byte digests with a
+    // map-side-combined min(struct) — the window form (the DuckDB oracle
+    // twin) would shuffle and sort every gram occurrence row; grams must
+    // come from the one-pass codegen shingle kernel, not posexplode+lead
+    val q = graft.SparkEntry.queries("q66_span_dedup")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"q66 must not plan a Window:\n$plan")
+    assert(plan.contains("partial_min(struct(doc_id"),
+      s"keeper decision should partial-aggregate map-side:\n$plan")
+    assert(plan.contains("shingle_make"),
+      s"grams must come from the one-pass codegen kernel:\n$plan")
+    assert(plan.linesIterator.exists(_.contains("Exchange hashpartitioning(h#")),
+      s"keeper decision must shuffle on the digest:\n$plan")
+  }
+
+  test("BM25 (g9): query terms broadcast, ranking is a bounded aggregate — no Window, no Sort") {
+    // the corpus tf table is semi-filtered by the BROADCAST query-term set
+    // (training tokens never shuffle for non-query terms), and the final
+    // per-query ranking ships k-entry topk_by buffers — the row_number()
+    // form would sort every scored (query, doc) row
+    val q = graft.SparkEntry.queries("g9_bm25")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"g9 must not plan a Window:\n$plan")
+    assert(!plan.linesIterator.exists(_.matches(""".*(\+- |\*\(\d+\) |^)Sort \[.*""")),
+      s"g9 must not sort scored rows:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"g9 should partial-aggregate topk_by buffers map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term candidates must join via broadcast:\n$plan")
+  }
+
+  test("PQ ANN (g10): codegen encode/ADC kernels, broadcast LUTs, bounded shortlist") {
+    // the scored pass reads (id, code) against BROADCAST per-probe ADC
+    // tables (pq_adc is a plain codegen expression — no reference object,
+    // no join per probe); the shortlist is the k-bounded topk_by aggregate
+    val q = graft.SparkEntry.queries("g10_pq_ann")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"g10 must not plan a Window:\n$plan")
+    assert(plan.contains("pq_encode") && plan.contains("pq_adc"),
+      s"PQ must run through the codegen kernels:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe LUTs must broadcast to the codes scan:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"ADC shortlist should partial-aggregate map-side:\n$plan")
+  }
+
   test("bloom pre-filter (q59) applies at the scan, before the join") {
     // bloom_contains must appear in a Filter below the join — survivors
     // only, never the full fact side, reach the exchange
