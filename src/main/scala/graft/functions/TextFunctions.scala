@@ -334,45 +334,70 @@ object TextFunctions {
    * contract every g-query rides. ln() is engine-specific (StrictMath here),
    * so like TF-IDF (g8) this has a driver StrictMath replay, not a DuckDB row.
    *
-   * Scale shape: queries are small by definition → their distinct term set
-   * broadcasts; the corpus tf table is semi-filtered by that broadcast at
-   * the scan, so df/score work touches only docs containing a query term;
-   * doc length attaches by doc_id equi-join (ids-only columns); final
-   * ranking is the k-bounded `topk_by` aggregate — no Window, no full sort,
-   * only k-entry buffers per query cross the shuffle.
+   * Scale shape: queries are small BY DEFINITION, so the global stats
+   * (N, avgdl) and the per-query-term idf are bounded eager driver fits —
+   * two corpus passes at call time (the ivf-centroid / bloom-bytes
+   * pattern: ≤ |distinct query terms| rows ever reach the driver) — and
+   * the returned plan touches the corpus exactly ONCE: a per-doc
+   * aggregation emitting (dl, the doc's query-term occurrences), with
+   * non-candidate docs dropped at that first shuffle. (The naive fully-lazy
+   * formulation re-derives the tf lineage under every join — 14 scans of
+   * the corpus at bench scale.) Scoring folds term contributions in SORTED
+   * term order, so the floating sum never depends on partitioning — the
+   * determinism-probe contract. Ranking is the k-bounded `topk_by`
+   * aggregate — no Window, no full sort. ln() is engine-specific
+   * (StrictMath here), so like TF-IDF (g8) this has a driver StrictMath
+   * replay, not a DuckDB row.
    */
   def bm25TopDocs(docs: DataFrame, queries: DataFrame, k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75,
                   idCol: String = "doc_id", textCol: String = "text",
                   qIdCol: String = "query_id", qTextCol: String = "query"): DataFrame = {
+    val spark = docs.sparkSession
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("tok_total"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-      .select(col("n_docs"),
-        (col("tok_total").cast("double") / col("n_docs").cast("double")).as("avgdl"))
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(graft.operators.Dedup.tokens(col(qTextCol)))).as("term"))
       .where(length(col("term")) > 0)
-    // candidate tf rows: only query terms survive the broadcast semi join,
-    // and df for those terms is exact on the filtered set (df = number of tf
-    // rows per term, and filtering by term drops no row of a kept term)
-    val tfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-    val dfreq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-    val contrib = tfq
-      .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    // bounded driver fits (queries are small by definition):
+    // (1) distinct query-term set; (2) N + total token count; (3) per-term
+    // df = docs containing the term — ≤ |distinct query terms| rows
+    val qset = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (qset.isEmpty)
+      return queries.select(col(qIdCol).as("query_id")).limit(0)
+        .withColumn("doc_id", lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
+        .withColumn("rnk", lit(null).cast("int"))
+    val statsRow = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      toks.agg(count(lit(1)).as("tok_total"))).head()
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = statsRow.getAs[Long]("tok_total").toDouble / nDocs.toDouble
+    val dfm: Map[String, Double] = toks
+      .where(col("term").isInCollection(qset))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val idfm: Map[String, Double] = dfm.map { case (t, dfv) =>
+      t -> StrictMath.log(1.0 + (nDocs.toDouble - dfv + 0.5) / (dfv + 0.5)) }
+    // the single corpus pass of the returned plan: per-doc (dl, sorted
+    // query-term occurrences); docs with no query term never leave the map
+    // side with more than their (doc_id, dl, empty) row, and are dropped
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        sort_array(collect_list(when(col("term").isInCollection(qset), col("term"))))
+          .as("qtoks"))
+      .where(size(col("qtoks")) > 0)
+    // tf per (doc, query term): candidate-only rows; the idf map is a plan
+    // literal (bounded), query_id fan-out attaches by broadcast equi-join
+    val tf = perDoc.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(broadcast(qterms), Seq("term"))
       .select(col("query_id"), col("doc_id"), col("term"),
-        (log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))) *
+        (element_at(typedLit(idfm), col("term")) *
           (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))).as("w"))
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("ws"))
       .select(col("query_id"), col("doc_id"),
