@@ -69,7 +69,8 @@ object Pipeline {
    * independently oracle-verified pieces (q57 redaction, q58 repetition,
    * q56 decontamination, q19 LSH pairs, q36 clustering, q37 keep-best,
    * q38 split): [optional PII scrub → repetition gate → benchmark
-   * decontamination] → near-duplicate pairs over `textCol` → transitive
+   * decontamination → corpus-wide paragraph dedup (q64) → duplicate-span
+   * dedup (q66)] → near-duplicate pairs over `textCol` → transitive
    * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
    * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
@@ -87,7 +88,9 @@ object Pipeline {
              maxSymbolRatio: Option[Double] = None,
              evalDocs: Option[DataFrame] = None,
              maxContamination: Double = 0.2,
-             exactDecontamination: Boolean = false): DataFrame = {
+             exactDecontamination: Boolean = false,
+             paragraphDedup: Boolean = false,
+             spanDedupK: Option[Int] = None): DataFrame = {
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -137,7 +140,28 @@ object Pipeline {
         repGated.join(clean, Seq(idCol), "left_semi")
       case None => repGated
     }
-    val rowsIn = gated
+    // optional corpus-wide TEXT-REWRITING dedup stages (after the gates —
+    // they see scrubbed/gated text; before near-dup clustering — clustering
+    // sees boilerplate-free text, so shared footers can no longer glue
+    // unrelated docs into one cluster). Each returns (id, rewritten text);
+    // the rewrite re-attaches by one id equi-join. Both are content-derived,
+    // so crash/rerun byte-stability is preserved.
+    def applyRewrite(df: DataFrame, rewritten: DataFrame): DataFrame =
+      df.drop(textCol).join(rewritten, Seq(idCol))
+    val paraDeduped =
+      if (paragraphDedup)
+        applyRewrite(gated, graft.operators.Dedup.paragraphDedup(
+          gated.select(col(idCol), col(textCol)), idCol, textCol)
+          .select(col(idCol), col(textCol)))
+      else gated
+    val spanDeduped = spanDedupK match {
+      case Some(kk) =>
+        applyRewrite(paraDeduped, graft.operators.Dedup.spanDedup(
+          paraDeduped.select(col(idCol), col(textCol)), idCol, textCol, kk)
+          .select(col(idCol), col(textCol)))
+      case None => paraDeduped
+    }
+    val rowsIn = spanDeduped
     val docs = rowsIn.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val pairs = graft.operators.Dedup.lshPairs(docs, minJaccard = minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -152,6 +152,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain.length === 20)
   }
 
+  test("curate rewrite stages: span + paragraph dedup strip cross-doc boilerplate pre-clustering") {
+    val footer = "the standard license footer text of this archive applies to every mirrored"
+    val rows = (0L until 12L).map { i =>
+      (f"img_$i%010d", s"u${i}a u${i}b u${i}c u${i}d $footer",
+        457840.0 + i * 0.01, 5439081.0)
+    }.toDF("image_id", "caption", "x", "y")
+    // without the rewrite: the 12-token footer is 12 of 16 distinct tokens →
+    // every pair sits at Jaccard 0.6 ≥ 0.5 → ONE cluster, one survivor:
+    // boilerplate glues unrelated docs together
+    val plain = Pipeline.curate(rows).select("image_id").as[String].collect()
+    assert(plain.length === 1, "shared footer must glue all docs into one cluster")
+    // with span dedup (k=8): the footer survives only in its first
+    // occurrence (img_0); docs become token-disjoint → all 12 survive and
+    // later docs' captions are footer-free
+    val caps = Pipeline.curate(rows, spanDedupK = Some(8))
+      .select("image_id", "caption").as[(String, String)].collect().toMap
+    assert(caps.size === 12, "span dedup must un-glue the cluster")
+    assert(caps(f"img_${0L}%010d").contains("license"), "first occurrence keeps the footer")
+    assert((1L until 12L).forall(i => !caps(f"img_$i%010d").contains("license")),
+      "every later occurrence loses the footer span")
+    // paragraph variant: footer as its own line, same keeper semantics
+    val rows2 = (0L until 12L).map { i =>
+      (f"img_$i%010d", s"u${i}a u${i}b u${i}c u${i}d\n$footer",
+        457840.0 + i * 0.01, 5439081.0)
+    }.toDF("image_id", "caption", "x", "y")
+    val caps2 = Pipeline.curate(rows2, paragraphDedup = true)
+      .select("image_id", "caption").as[(String, String)].collect().toMap
+    assert(caps2.size === 12)
+    assert(caps2(f"img_${0L}%010d").contains("license"))
+    assert((1L until 12L).forall(i => !caps2(f"img_$i%010d").contains("license")),
+      "every later copy of the boilerplate line is removed")
+  }
+
   test("curated pipeline end to end: resumable, duplicates dropped, split byte-stable") {
     val table = java.nio.file.Files.createTempDirectory("pipe_cur_out").toString + "/cur"
     val images = spark.read.parquet(curatedImagesDir)
