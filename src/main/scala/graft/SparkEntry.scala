@@ -772,6 +772,22 @@ object SparkEntry {
       graft.operators.GraphPaths.shortestPath(e1.unionByName(e2),
         source = 0L, target = 4L, maxDepth = 8)
     }),
+    "q68_weighted_sssp" -> ((s, dir) => {
+      // weighted SSSP (frontier Bellman-Ford) on an arithmetic-derived
+      // 40-node cyclic multigraph, out-degree ~8 (the `div 40` term makes
+      // each pk-copy of a node target a different dst — without it 280 ≡ 0
+      // (mod 40) collapses the graph to out-degree 1). Long weights keep
+      // distances exact, so the DuckDB depth-capped recursive-CTE oracle
+      // hash-matches; the cap (45) and maxRounds both exceed the 39-hop
+      // simple-path bound, and positive weights mean non-simple paths
+      // (and self-loops) can never win.
+      val e = t(s, dir, "part").where(col("p_partkey") < 300)
+        .select((col("p_partkey") % 40).cast("long").as("src"),
+          ((col("p_partkey") * 7 + expr("p_partkey div 40") * 11 + 3) % 40)
+            .cast("long").as("dst"),
+          (col("p_partkey") % 13 + 1).cast("long").as("w"))
+      graft.operators.GraphPaths.weightedSssp(e, source = 0L, maxRounds = 45)
+    }),
     "q39_simhash_pairs" -> ((s, dir) => {
       // the pigeonhole-banded SimHash pair join under the hard gate: the
       // DuckDB oracle recomputes the FULL n² Hamming-threshold pair set, so a
@@ -1612,6 +1628,19 @@ object SparkEntry {
                 CAST(len(l.lines) AS INT) AS n_paras,
                 CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
          FROM lx l LEFT JOIN re ON l.doc_id = re.doc_id""",
+    "q68_weighted_sssp" ->
+      """WITH RECURSIVE e AS (
+           SELECT CAST(p_partkey %% 40 AS BIGINT) AS src,
+                  CAST((p_partkey * 7 + (p_partkey // 40) * 11 + 3) %% 40 AS BIGINT) AS dst,
+                  CAST(p_partkey %% 13 + 1 AS BIGINT) AS w
+           FROM part WHERE p_partkey < 300),
+         walk(node, dist, depth) AS (
+           SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS depth
+           UNION
+           SELECT e.dst, walk.dist + e.w, walk.depth + 1
+           FROM walk JOIN e ON walk.node = e.src
+           WHERE walk.depth < 45)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node""",
     "q67_ring_measures" ->
       """WITH p AS (
            SELECT CAST(p_partkey AS BIGINT) AS poly_id,

@@ -132,6 +132,69 @@ object GraphPaths {
     }
   }
 
+  /**
+   * Weighted single-source shortest paths (non-negative integer weights) —
+   * frontier-driven distributed Bellman-Ford: each round relaxes only the
+   * edges leaving nodes whose distance improved last round (the classic
+   * queue-based refinement; round count ≤ the hop count of the longest
+   * shortest path, so it terminates in ≤ V−1 rounds on any graph and far
+   * fewer on real ones — `maxRounds` is the safety bound, and an
+   * un-converged exit can only ever return distances that are too LARGE,
+   * never wrong-small). Candidates take a per-target `min` BEFORE touching
+   * the distance table, so the improvement join carries one row per target.
+   * Weights stay LONG end to end — distances are exact integer sums, which
+   * is what lets the q68 DuckDB recursive-CTE oracle hash-match bit-for-bit.
+   * The edge table is repartitioned by `src` and persisted once (the
+   * bfsWithPred layout-reuse pattern); per-round state is checkpointed
+   * scalars. Output: (node: long, dist: long) for every reachable node.
+   */
+  def weightedSssp(edges: DataFrame, source: Long, maxRounds: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long")))
+      .repartition(col("src")).persist()
+    try {
+      var dist = ck(Seq((source, 0L)).toDF("node", "dist"))
+      var frontier = dist
+      var improvedN = 1L
+      var r = 0
+      while (r < maxRounds && improvedN > 0) {
+        val cand = frontier.join(e, frontier("node") === e("src"))
+          .groupBy(e("dst").as("node"))
+          .agg(min(frontier("dist") + e("w")).as("cand"))
+        val improved = ck(cand.join(dist, Seq("node"), "left")
+          .where(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist")))
+        improvedN = improved.count()
+        if (improvedN > 0)
+          dist = ck(dist.unionByName(improved)
+            .groupBy("node").agg(min(col("dist")).as("dist")))
+        frontier = improved
+        r += 1
+      }
+      dist
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Driver-side Dijkstra oracle (tests). */
+  def bruteSssp(edges: Seq[(Long, Long, Long)], source: Long): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(t => (t._2, t._3)) }
+    val dist = scala.collection.mutable.Map(source -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+      Ordering.by[(Long, Long), Long](_._1).reverse)
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (dist(n) == d)
+        adj.getOrElse(n, Seq.empty).foreach { case (m, w) =>
+          if (dist.get(m).forall(_ > d + w)) { dist(m) = d + w; pq.enqueue((d + w, m)) }
+        }
+    }
+    dist.toMap
+  }
+
   /** Driver-side brute-force oracle (tests). */
   def bruteBfs(edges: Seq[(Long, Long)], source: Long, maxDepth: Int): Map[Long, Int] = {
     val adj = edges.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }

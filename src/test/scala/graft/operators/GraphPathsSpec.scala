@@ -55,6 +55,29 @@ class GraphPathsSpec extends AnyFunSuite {
     assert(GraphPaths.shortestPath(e, 0L, unreachable, 8).count() === 0)
   }
 
+  test("weightedSssp == driver Dijkstra on a seeded weighted graph; weight-1 == BFS") {
+    val wEdges: Seq[(Long, Long, Long)] = edges.zipWithIndex.map { case ((s, d), i) =>
+      (s, d, (i % 9 + 1).toLong)
+    }
+    val e = wEdges.toDF("src", "dst", "w")
+    val got = GraphPaths.weightedSssp(e, source = 0L, maxRounds = 250)
+      .as[(Long, Long)].collect().toMap
+    val want = GraphPaths.bruteSssp(wEdges, 0L)
+    assert(got === want)
+    assert(want.size > 10, "fixture should reach a nontrivial component")
+    // cheapest route must beat a heavy direct edge: 0 →(9) 1 vs 0 →(1) 2 →(1) 1
+    val tiny = Seq((0L, 1L, 9L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val t = GraphPaths.weightedSssp(tiny, 0L, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(t === Map(0L -> 0L, 1L -> 2L, 2L -> 1L))
+    // all weights 1 → distances == BFS hop counts
+    val ones = edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val wd = GraphPaths.weightedSssp(ones, 0L, maxRounds = 250)
+      .as[(Long, Long)].collect().toMap
+    val hops = GraphPaths.bruteBfs(edges, 0L, 250).map { case (k, v) => k -> v.toLong }
+    assert(wd === hops)
+  }
+
   test("reliable-checkpoint mode (executor-loss-safe) gives identical results") {
     // checkpointDir routes every per-round materialization through reliable
     // checkpoints (survives executor loss on a real cluster, where a lost
