@@ -890,6 +890,19 @@ object SparkEntry {
       // TextStatsSpec replays the formula with the same Math.log, and the
       // determinism probe covers cross-parallelism stability.
       graft.functions.TextFunctions.tfidfTopTerms(t(s, dir, "documents"))),
+    "g12_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ (FAISS IVFx,PQy shape): coarse-quantizer list pruning +
+      // residual PQ-ADC scoring + exact cosine re-rank — the standard
+      // billion-scale index, composed from ivf_assign and the pq kernels.
+      // Gated in DedupAnnSpec (recall within the exact-scored IVF ceiling,
+      // rerun determinism); rides the cross-parallelism probe.
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      graft.operators.AnnSearch.ivfPqTopK(e, probes, k = 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+        .select("probe_id", "vec_id", "rnk")
+    }),
     "g10_pq_ann" -> ((s, dir) => {
       // product-quantization ANN (32× code compression + ADC shortlist +
       // exact cosine re-rank). The k-means codebooks and float L2 are not

@@ -270,6 +270,111 @@ object AnnSearch {
     }
   }
 
+  /**
+   * IVF-PQ — the standard billion-scale ANN index (FAISS `IVFx,PQy` shape),
+   * composed from the two parts this engine already owns: the IVF coarse
+   * quantizer prunes the candidate set to `nprobe/nlist` of the table
+   * (at 10^12 rows the list id is also the storage cluster key, so probes
+   * read a partition range), and within the visited lists PQ-ADC scores
+   * m-byte codes instead of 4·dim-byte vectors. RESIDUAL encoding (the
+   * paper's refinement): each vector is PQ-encoded as `v − centroid(v)`,
+   * and the probe builds one ADC table per visited list from `q − c_list`
+   * — residuals are centered near zero, so the sub-codebooks spend their
+   * 2^bits resolution on the informative part. Codebooks train on the
+   * residuals of the bounded deterministic sample. Optional exact cosine
+   * re-rank as in [[pqTopK]]. Output matches the family:
+   * (probe_id, idCol, cos, rnk) with rerank, else (probe_id, idCol, d2a, rnk).
+   */
+  def ivfPqTopK(table: DataFrame, probes: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, iters: Int = 5, rerank: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val sampleN = math.max(1000, math.max(nlist, ksub) * 40)
+    val ranged = table.select(col(idCol), col(vecCol))
+      .where(col(idCol) < lit(sampleN.toLong))
+      .as[(Long, Array[Float])].collect()
+    val sample = (if (ranged.length >= math.max(nlist, ksub)) ranged
+      else table.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(sampleN)
+        .as[(Long, Array[Float])].collect()).sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, "ivfPqTopK: table has no rows to fit from")
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // coarse quantizer on the raw sample
+    val centroids = kmeans(sample, nlist, iters)
+    val ivf = new org.apache.spark.sql.graft.IvfCentroids(
+      centroids.indices.map(_.toLong).toArray, centroids)
+    // sub-codebooks on RESIDUALS v − centroid(v)
+    def residual(v: Array[Float]): Array[Float] = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val dx = v(i) - centroids(c)(i); d += dx * dx; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = (v(i) - centroids(best)(i)).toFloat; i += 1 }
+      r
+    }
+    val residuals = sample.map(residual)
+    val ks = math.min(ksub, sample.length)
+    val books = Array.tabulate(m) { s =>
+      kmeans(residuals.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ks, iters)
+    }
+    val pq = new org.apache.spark.sql.graft.PqCodebooks(m, ks, dsub, books)
+    val rq = new org.apache.spark.sql.graft.IvfPqResidual(ivf, pq)
+
+    // one codegen projection over the table scan: (list_id, residual code)
+    val codes = table.select(col(idCol),
+      org.apache.spark.sql.graft.VecFunctionsImpl.ivf_assign(col(vecCol), ivf).as("list_id"),
+      org.apache.spark.sql.graft.VecFunctionsImpl.ivfpq_encode(col(vecCol), rq).as("code"))
+    // probe side: nprobe nearest lists, one residual ADC table per list
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeLists = probes.select(col("probe_id"), col("pvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (pid, pv) =>
+        val cs = bc.value
+        cs.indices.map { c =>
+          var d = 0.0; var i = 0
+          while (i < pv.length) { val dx = pv(i) - cs(c)(i); d += dx * dx; i += 1 }
+          (pid, pv, c.toLong, d)
+        }.sortBy(t => (t._4, t._3)).take(nprobe)
+      }.toDF("probe_id", "pvec", "list_id", "cdist")
+      .select(col("probe_id"), col("list_id"),
+        org.apache.spark.sql.graft.VecFunctionsImpl
+          .ivfpq_lut(col("pvec"), col("list_id"), rq).as("lut"))
+    val scored = codes.join(broadcast(probeLists), Seq("list_id"))
+      .select(col("probe_id"), col(idCol),
+        org.apache.spark.sql.graft.VecFunctionsImpl.pq_adc(col("code"), col("lut")).as("d2a"))
+    if (rerank <= 0) {
+      scored.groupBy("probe_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+          -col("d2a"), col(idCol), k).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("e"))
+        .select(col("probe_id"), col("e.key").as(idCol),
+          (-col("e.score")).as("d2a"), col("e.rnk").as("rnk"))
+    } else {
+      val cand = scored.groupBy("probe_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+          -col("d2a"), col(idCol), math.max(rerank, k)).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("e"))
+        .select(col("probe_id"), col("e.key").as(idCol))
+      val exact = cand
+        .join(table.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(broadcast(probes.select(col("probe_id"), col("pvec"))), Seq("probe_id"))
+        .withColumn("cos", cosine(col(vecCol), col("pvec")))
+        .select(col("probe_id"), col(idCol), col("cos"))
+      boundedTopK(exact, k, idCol)
+    }
+  }
+
   /** Deterministic Lloyd's k-means (driver-side; centroids are tiny). */
   def kmeans(vecs: Array[Array[Float]], kIn: Int, iters: Int): Array[Array[Double]] = {
     val k = math.min(kIn, vecs.length)

@@ -210,6 +210,51 @@ final class PqCodebooks(val m: Int, val ksub: Int, val dsub: Int,
     out
   }
 
+  /** [[encode]] over a plain double array (the residual-quantizer path). */
+  def encodeDense(v: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val cb = cents(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val dx = v(off + i) - ctr(i); d += dx * dx; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** [[lut]] over a plain double array (the residual-quantizer path). */
+  def lutDense(v: Array[Double]): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cb = cents(s)
+      val off = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val ctr = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val dx = v(off + i) - ctr(i); d += dx * dx; i += 1 }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC table for one probe: lut[s·ksub + c] = ||q_s − centroid_{s,c}||². */
   def lut(a: ArrayData, isFloat: Boolean): ArrayData = {
     val out = new Array[Double](m * ksub)
@@ -229,6 +274,52 @@ final class PqCodebooks(val m: Int, val ksub: Int, val dsub: Int,
       s += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/**
+ * IVF-PQ residual quantizer (Jégou et al. 2011 §IV): vectors PQ-encode as
+ * `v − centroid(v)` and probes build one ADC table per visited list from
+ * `q − c_list` — residuals center near zero, so the sub-codebooks spend
+ * their resolution on the informative part. Rides the plan as a reference
+ * object like its two components.
+ */
+final class IvfPqResidual(val ivf: IvfCentroids, val pq: PqCodebooks)
+    extends Serializable {
+  @inline private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** PQ code of the residual against the vector's own nearest centroid. */
+  def encode(a: ArrayData, isFloat: Boolean): Array[Byte] = {
+    val cs = ivf.cs
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      val n = math.min(a.numElements(), ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val dx = elem(a, i, isFloat) - ctr(i); d += dx * dx; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val ctr = cs(best)
+    val r = new Array[Double](ctr.length)
+    var i = 0
+    while (i < ctr.length) { r(i) = elem(a, i, isFloat) - ctr(i); i += 1 }
+    pq.encodeDense(r)
+  }
+
+  /** ADC table of the probe's residual against list `listId`'s centroid. */
+  def lut(a: ArrayData, listId: Long, isFloat: Boolean): ArrayData = {
+    val idx = java.util.Arrays.binarySearch(ivf.ids, listId)
+    require(idx >= 0, s"unknown IVF list id $listId")
+    val ctr = ivf.cs(idx)
+    val r = new Array[Double](ctr.length)
+    var i = 0
+    while (i < ctr.length) { r(i) = elem(a, i, isFloat) - ctr(i); i += 1 }
+    pq.lutDense(r)
   }
 }
 
@@ -286,6 +377,46 @@ case class PqLutExpr(child: Expression, books: PqCodebooks) extends PqVecExpr {
   override def prettyName: String = "pq_lut"
 }
 
+/** ivfpq_encode(vec) → m-byte RESIDUAL code; quantizer rides the plan. */
+case class IvfPqEncodeExpr(child: Expression, rq: IvfPqResidual) extends PqVecExpr {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    rq.encode(a.asInstanceOf[ArrayData], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPq", rq, classOf[IvfPqResidual].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ivfpq_encode"
+}
+
+/** ivfpq_lut(pvec, list_id) → residual ADC table for that list. */
+case class IvfPqLutExpr(left: Expression, right: Expression, rq: IvfPqResidual)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, bigint), got $l / $r")
+    }
+  override def nullSafeEval(a: Any, listId: Any): Any =
+    rq.lut(a.asInstanceOf[ArrayData], listId.asInstanceOf[Long], isFloat)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPq", rq, classOf[IvfPqResidual].getName)
+    defineCodeGen(ctx, ev, (a, l) => s"$ref.lut($a, $l, $isFloat)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "ivfpq_lut"
+}
+
 /** pq_adc(code, lut) → approximate squared L2; plain codegen, no ref obj. */
 case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -318,4 +449,8 @@ object VecFunctionsImpl {
     column(PqLutExpr(expression(pvec), books))
   def pq_adc(code: Column, lut: Column): Column =
     column(PqAdcExpr(expression(code), expression(lut)))
+  def ivfpq_encode(vec: Column, rq: IvfPqResidual): Column =
+    column(IvfPqEncodeExpr(expression(vec), rq))
+  def ivfpq_lut(pvec: Column, listId: Column, rq: IvfPqResidual): Column =
+    column(IvfPqLutExpr(expression(pvec), expression(listId), rq))
 }

@@ -330,6 +330,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(a1 === a2 && a1.nonEmpty)
   }
 
+  test("IVF-PQ ANN: residual codes + list pruning; recall within the IVF bound; deterministic") {
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 50 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
+    val got = AnnSearch.ivfPqTopK(embs, probes, k = 5, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = want.count(got.contains).toDouble / want.size
+    // candidates are capped by the coarse quantizer's nprobe/nlist pruning
+    // (the exact-scored IVF test pins >= 0.5 on this uniform-random worst
+    // case); the PQ shortlist + exact re-rank should not lose much more
+    assert(recall >= 0.4, s"recall=$recall")
+    // the exact-scored IVF path is this operator's recall CEILING — the PQ
+    // stage can only lose candidates within the visited lists
+    val ivfExact = AnnSearch.ivfTopK(embs, probes, k = 5, nlist = 16, nprobe = 4)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = want.count(ivfExact.contains).toDouble / want.size
+    assert(recall <= ivfRecall + 1e-9,
+      s"IVF-PQ recall $recall cannot exceed its exact-scored ceiling $ivfRecall")
+    // rerun-identical (content-derived end to end)
+    val again = AnnSearch.ivfPqTopK(embs, probes, k = 5, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, rerank = 50)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("typedParse: reference ClazzUtils sniffing cascade semantics") {
     import graft.functions.TextFunctions.typedParse
     val d = Seq("true", "FALSE", "x", "7", "4711", "123456", "9999999999",
