@@ -553,6 +553,26 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.gopherColumns(injected): _*)
     }),
+    "q69_c4_rules" -> ((s, dir) => {
+      // the C4 heuristic cleaning stack on deterministically injected line
+      // structure exercising EVERY rule: every 4th doc gets (kept sentence
+      // line, short line, javascript line, unterminated line); every 9th a
+      // lorem-ipsum + curly-brace line that still passes the line rules —
+      // clean_text itself is hash-gated, so keep/drop parity is proven per
+      // line on both engines
+      val txt = coalesce(col("text"), lit(""))
+      val injected = when(col("doc_id") % 4 === 0,
+          concat_ws("\n",
+            concat(substring(txt, 1, 40), lit(" stays right here.")),
+            lit("tiny."),
+            lit("this line mentions javascript libraries."),
+            lit("no terminal punctuation on this line")))
+        .when(col("doc_id") % 9 === 0,
+          concat(txt, lit("\nlorem ipsum dolor sit { amet?")))
+        .otherwise(txt)
+      t(s, dir, "documents").select(col("doc_id") +:
+        graft.functions.TextFunctions.c4Columns(injected): _*)
+    }),
     "q61_top_ngram_mass" -> ((s, dir) =>
       // Gopher top-n-gram mass rule (n=2): per-doc argmax via the 1-bounded
       // topk_by aggregate — no window, no per-doc sort; Σcnt + n − 1 gives
@@ -1572,6 +1592,34 @@ object SparkEntry {
                   / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
                 CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS DOUBLE)
                   / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
+         FROM lx""",
+    "q69_c4_rules" ->
+      """WITH inj AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id %% 4 = 0
+                       THEN substring(COALESCE(text, ''), 1, 40) || ' stays right here.' || chr(10) ||
+                            'tiny.' || chr(10) ||
+                            'this line mentions javascript libraries.' || chr(10) ||
+                            'no terminal punctuation on this line'
+                       WHEN doc_id %% 9 = 0
+                       THEN COALESCE(text, '') || chr(10) || 'lorem ipsum dolor sit { amet?'
+                       ELSE COALESCE(text, '') END AS t
+           FROM documents),
+         lx AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM inj)
+         SELECT doc_id,
+                COALESCE(array_to_string([l FOR l IN lines IF regexp_matches(l, '[.!?"]$')
+                                 AND len([w FOR w IN string_split(l, ' ') IF w <> '']) >= 3
+                                 AND NOT contains(lower(l), 'javascript')], chr(10)), '') AS clean_text,
+                CAST(len(lines) AS INT) AS n_lines,
+                CAST(len([l FOR l IN lines IF regexp_matches(l, '[.!?"]$')
+                          AND len([w FOR w IN string_split(l, ' ') IF w <> '']) >= 3
+                          AND NOT contains(lower(l), 'javascript')]) AS INT) AS n_kept,
+                CAST(len([l FOR l IN lines IF regexp_matches(l, '[.!?"]$')]) AS INT) AS n_terminal,
+                CAST(len([l FOR l IN lines
+                          IF len([w FOR w IN string_split(l, ' ') IF w <> '']) < 3]) AS INT) AS n_short,
+                contains(lower(t), 'lorem ipsum') AS has_lorem,
+                contains(t, '{') AS has_brace,
+                CAST(len(regexp_extract_all(t, '[.!?]')) AS INT) AS n_sentences
          FROM lx""",
     "q61_top_ngram_mass" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

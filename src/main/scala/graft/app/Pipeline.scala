@@ -68,9 +68,10 @@ object Pipeline {
    * Curation stages of the LLM-data pipeline, composed from the
    * independently oracle-verified pieces (q57 redaction, q58 repetition,
    * q56 decontamination, q19 LSH pairs, q36 clustering, q37 keep-best,
-   * q38 split): [optional PII scrub → repetition gate → benchmark
-   * decontamination → corpus-wide paragraph dedup (q64) → duplicate-span
-   * dedup (q66)] → near-duplicate pairs over `textCol` → transitive
+   * q38 split): [optional PII scrub → C4 line filter + page rules (q69) →
+   * repetition gate → benchmark decontamination → corpus-wide paragraph
+   * dedup (q64) → duplicate-span dedup (q66)] → near-duplicate pairs over
+   * `textCol` → transitive
    * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
    * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
@@ -83,6 +84,8 @@ object Pipeline {
   def curate(rows: DataFrame, idCol: String = "image_id", textCol: String = "caption",
              minJaccard: Double = 0.5,
              scrubPii: Boolean = false,
+             c4MinWords: Option[Int] = None,
+             c4PageRules: Boolean = false,
              maxRepetition: Double = 1.0,
              maxDupLineFrac: Option[Double] = None,
              maxSymbolRatio: Option[Double] = None,
@@ -100,11 +103,24 @@ object Pipeline {
       if (scrubPii)
         rows.withColumn(textCol, graft.functions.TextFunctions.redactPii(col(textCol)))
       else rows
+    // optional C4 stack (q69 pack), in the paper's order and both scan-local:
+    // line-filter REWRITE first (only clean lines feed every later stage),
+    // then the page-level drops (lorem-ipsum / curly-brace / < 3 sentences)
+    // on the rewritten text — C4 counts sentences on the retained lines
+    val c4Lined = c4MinWords match {
+      case Some(mw) => scrubbed.withColumn(textCol,
+        graft.functions.TextFunctions.c4CleanText(col(textCol), mw))
+      case None => scrubbed
+    }
+    val c4Gated =
+      if (c4PageRules)
+        c4Lined.where(!graft.functions.TextFunctions.c4PageDrop(col(textCol)))
+      else c4Lined
     val repGated0 =
       if (maxRepetition < 1.0)
-        scrubbed.where(
+        c4Gated.where(
           graft.functions.TextFunctions.repetitionFrac(col(textCol)) <= maxRepetition)
-      else scrubbed
+      else c4Gated
     // optional Gopher scan-local rules (q60 pack) — same inclusive-threshold
     // convention; each adds only a codegen'd filter on the scan, no shuffle
     val dupGated = maxDupLineFrac match {

@@ -410,6 +410,56 @@ object TextFunctions {
         col("e.score").as("score"), col("e.rnk").as("rnk"))
   }
 
+  /**
+   * C4 rule pack (Raffel et al. 2020): the heuristic cleaning stack behind
+   * the "Colossal Clean Crawled Corpus" — keep only lines ending in terminal
+   * punctuation with >= `minWords` words and no "javascript", and flag pages
+   * containing "lorem ipsum" or a curly brace (C4 drops those pages whole).
+   * One struct column from the single-pass codegen `c4_clean` kernel
+   * ([[org.apache.spark.sql.graft.C4Kernel]] — the declarative twin needs an
+   * interpreted higher-order `filter` plus ~5 regexp re-walks of the text),
+   * expanded here plus an approximate sentence count (terminal-punctuation
+   * occurrences in the ORIGINAL text — C4's "fewer than 3 sentences" page
+   * rule). Scan-local, zero shuffle; null text == "". DuckDB-oracle-checked
+   * (q69) on injected line structure.
+   */
+  def c4Columns(textCol: Column, minWords: Int = 3): Seq[Column] = {
+    val t = coalesce(textCol, lit(""))
+    val c = org.apache.spark.sql.graft.TextFunctionsImpl.c4_clean(t, lit(minWords))
+    Seq(c.getField("clean_text").as("clean_text"),
+      c.getField("n_lines").as("n_lines"),
+      c.getField("n_kept").as("n_kept"),
+      c.getField("n_terminal").as("n_terminal"),
+      c.getField("n_short").as("n_short"),
+      c.getField("has_lorem").as("has_lorem"),
+      c.getField("has_brace").as("has_brace"),
+      regexp_count(t, lit("[.!?]")).as("n_sentences"))
+  }
+
+  /** Just the C4-cleaned text (kept lines re-joined) — the rewrite stage. */
+  def c4CleanText(textCol: Column, minWords: Int = 3): Column =
+    org.apache.spark.sql.graft.TextFunctionsImpl
+      .c4_clean(coalesce(textCol, lit("")), lit(minWords)).getField("clean_text")
+
+  /** C4 page-level drop predicate: lorem-ipsum / curly-brace / too few
+    * sentences (strictly fewer than `minSentences`). */
+  def c4PageDrop(textCol: Column, minSentences: Int = 3): Column = {
+    val t = coalesce(textCol, lit(""))
+    val c = org.apache.spark.sql.graft.TextFunctionsImpl.c4_clean(t, lit(3))
+    c.getField("has_lorem") || c.getField("has_brace") ||
+      regexp_count(t, lit("[.!?]")) < lit(minSentences)
+  }
+
+  /** Declarative reference twin of the `c4_clean` kernel (HOF filter +
+    * regexes) — kept as the semantics oracle in tests, not for the scan. */
+  def c4CleanDeclarative(textCol: Column, minWords: Int = 3): Column = {
+    val lines = split(coalesce(textCol, lit("")), "\n")
+    val wordsOf = (l: Column) => size(filter(split(l, " "), w => w =!= ""))
+    array_join(filter(lines, l =>
+      l.rlike("[.!?\"]$") && wordsOf(l) >= minWords &&
+        !contains(lower(l), lit("javascript"))), "\n")
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

@@ -488,5 +488,6 @@ object GeoFunctionsImpl {
       es => MinHashBandsExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands_mp",
       es => MinHashBandsMpExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("c4_clean", es => C4CleanExpr(es(0), es(1)), "built-in")
   }
 }

@@ -347,6 +347,80 @@ case class LangIdExpr(child: Expression) extends UnaryExpression with ExpectsInp
   override def prettyName: String = "lang_id"
 }
 
+/**
+ * One-pass C4 line-rule kernel (Raffel et al. 2020, "Colossal Clean Crawled
+ * Corpus" heuristics): per line, keep iff it (a) ends in terminal punctuation
+ * (`.` `!` `?` `"`), (b) has at least `minWords` non-empty space-separated
+ * words, and (c) does not contain the word "javascript" (case-insensitive) —
+ * plus the page-level flags C4 drops whole documents on: "lorem ipsum"
+ * (case-insensitive) and a curly brace. A declarative formulation needs one
+ * interpreted higher-order `filter` plus ~5 more regexp passes over the text;
+ * this walks the document once inside whole-stage codegen and returns
+ * everything a gate needs as one struct.
+ *
+ * Cross-engine contract (the q69 DuckDB oracle replays these exactly):
+ * lines = split on `\n` (empties kept); words of a line = maximal runs of
+ * non-space characters (== non-empty tokens of a single-space split);
+ * terminal check = raw last character; lowercasing for the substring checks
+ * is Locale.ROOT (the SimHash lesson — ASCII targets, so engine-identical).
+ */
+object C4Kernel {
+  def eval(text: UTF8String, minWords: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val lines = s.split("\n", -1)
+    val kept = new java.lang.StringBuilder
+    var nKept = 0
+    var nTerminal = 0
+    var nShort = 0
+    var li = 0
+    while (li < lines.length) {
+      val line = lines(li)
+      val last = if (line.isEmpty) ' ' else line.charAt(line.length - 1)
+      val terminal = last == '.' || last == '!' || last == '?' || last == '"'
+      var words = 0
+      var inWord = false
+      var ci = 0
+      while (ci < line.length) {
+        if (line.charAt(ci) == ' ') inWord = false
+        else if (!inWord) { words += 1; inWord = true }
+        ci += 1
+      }
+      if (terminal) nTerminal += 1
+      if (words < minWords) nShort += 1
+      if (terminal && words >= minWords &&
+          !line.toLowerCase(java.util.Locale.ROOT).contains("javascript")) {
+        if (nKept > 0) kept.append('\n')
+        kept.append(line)
+        nKept += 1
+      }
+      li += 1
+    }
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(kept.toString), lines.length, nKept, nTerminal, nShort,
+      lower.contains("lorem ipsum"), s.indexOf('{') >= 0))
+  }
+}
+
+/** c4_clean(text, minWords) — struct<clean_text, n_lines, n_kept, n_terminal,
+  * n_short, has_lorem, has_brace>, codegen'd static call into [[C4Kernel]]. */
+case class C4CleanExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = new StructType()
+    .add("clean_text", StringType).add("n_lines", IntegerType)
+    .add("n_kept", IntegerType).add("n_terminal", IntegerType)
+    .add("n_short", IntegerType)
+    .add("has_lorem", BooleanType).add("has_brace", BooleanType)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def nullSafeEval(t: Any, n: Any): Any =
+    C4Kernel.eval(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"org.apache.spark.sql.graft.C4Kernel.eval($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "c4_clean"
+}
+
 object TextFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
@@ -374,4 +448,6 @@ object TextFunctionsImpl {
   def minhash_bands_mp(text: Column, n: Column, bands: Column, rows: Column): Column =
     column(MinHashBandsMpExpr(expression(text), expression(n),
       expression(bands), expression(rows)))
+  def c4_clean(text: Column, minWords: Column): Column =
+    column(C4CleanExpr(expression(text), expression(minWords)))
 }

@@ -152,6 +152,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain.length === 20)
   }
 
+  test("c4 gates: line filter rewrites captions, page rules drop flagged docs") {
+    // per-row tokens dominate (a$i...) so the near-dup stage never glues
+    // the fixtures (the gopher-gate lesson); every caption ends in '.' so
+    // the C4 line filter keeps clean lines
+    val rows = (0L until 16L).map { i =>
+      val cap = i match {
+        // junk lines interleaved with one clean 3-sentence line → the
+        // rewrite keeps it and the page rule (which sees the REWRITTEN
+        // text) still counts 3 sentences
+        case 0 => "ok a0 b0 c0. d0 e0 stays right here. f0 g0 h0 ends well.\ntiny.\nuses javascript here today.\nno terminal punct"
+        // lorem-ipsum page → dropped whole by the page rule
+        case 1 => "x1 a1 b1 c1. d1 e1 f1 g1. lorem ipsum h1 i1."
+        // curly-brace page → dropped whole
+        case 2 => "x2 a2 b2 c2. d2 e2 f2 g2. j2 { k2 l2."
+        // one sentence only → dropped by the min-sentence rule
+        case 3 => "x3 a3 b3 c3 d3 e3 f3 g3 h3."
+        case _ => s"plain caption $i with words. a$i b$i c$i. d$i e$i f$i."
+      }
+      (f"img_$i%010d", cap, 457840.0 + i * 0.01, 5439081.0)
+    }.toDF("image_id", "caption", "x", "y")
+    val curated = Pipeline.curate(rows, c4MinWords = Some(3), c4PageRules = true)
+      .select("image_id", "caption").as[(String, String)].collect().toMap
+    assert(!curated.contains(f"img_${1L}%010d"), "lorem-ipsum page must drop")
+    assert(!curated.contains(f"img_${2L}%010d"), "curly-brace page must drop")
+    assert(!curated.contains(f"img_${3L}%010d"), "one-sentence page must drop")
+    assert(curated(f"img_${0L}%010d") === "ok a0 b0 c0. d0 e0 stays right here. f0 g0 h0 ends well.",
+      "line filter must keep exactly the clean line")
+    assert((4L until 16L).forall(i => curated.contains(f"img_$i%010d")),
+      "clean rows survive the C4 stack")
+    // gates off: everything survives untouched
+    assert(Pipeline.curate(rows).count() === 16)
+  }
+
   test("curate rewrite stages: span + paragraph dedup strip cross-doc boilerplate pre-clustering") {
     val footer = "the standard license footer text of this archive applies to every mirrored"
     val rows = (0L until 12L).map { i =>

@@ -92,4 +92,56 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(2L) === ((Some("x y"), 0.8)))
     assert(got(3L) === ((None, 0.0)))
   }
+
+  test("c4_clean kernel == declarative HOF twin on adversarial line structure") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "Good sentence with words here."),
+      (2L, "short."),                                   // < 3 words
+      (3L, "no terminal punctuation at all"),
+      (4L, "Uses JavaScript on this line today.\nBut this line is fine and kept."),
+      (5L, "Ends with a question mark?\nEnds with bang!\nEnds with quote\""),
+      (6L, ""),                                         // empty text: 1 empty line
+      (7L, "a  b   c." ),                               // multi-space: 3 words
+      (8L, "Lorem Ipsum dolor sit amet."),              // lorem flag, line kept
+      (9L, "code { return 1; }\nA normal prose sentence follows it."),
+      (10L, "line one is fine.\n\nline after a blank line stays too.")
+    ).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.c4CleanText(col("text")).as("kernel"),
+      graft.functions.TextFunctions.c4CleanDeclarative(col("text")).as("twin"))
+      .collect()
+    both.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"doc ${r.getLong(0)}: kernel=${r.getString(1)} twin=${r.getString(2)}"))
+    // spot semantics: the javascript line drops, its sibling survives
+    val m = both.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(4L) === "But this line is fine and kept.")
+    assert(m(5L).split("\n").length === 3, "all three terminal forms keep")
+    assert(m(2L) === "" && m(3L) === "" && m(6L) === "")
+    assert(m(7L) === "a  b   c.", "words are non-empty runs, not split slots")
+    // doc-level flags + null-text contract
+    val flags = docs.select(col("doc_id") +:
+      graft.functions.TextFunctions.c4Columns(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getInt(8)))).toMap
+    assert(flags(8L) === ((true, false, 1)), "case-insensitive lorem ipsum")
+    assert(flags(9L) === ((false, true, 1)))
+    val nulls = Seq((11L, null: String)).toDF("doc_id", "text")
+      .select(col("doc_id") +: graft.functions.TextFunctions.c4Columns(col("text")): _*)
+      .head()
+    assert(nulls.getString(1) === "" && nulls.getInt(2) === 1 && nulls.getInt(3) === 0)
+  }
+
+  test("c4PageDrop composes the paper's page rules") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "One. Two! Three? is enough sentences."),    // 3+ terminals → keep
+      (2L, "Only one sentence here."),                   // < 3 sentences → drop
+      (3L, "A. B. C. but has lorem ipsum in it."),       // lorem → drop
+      (4L, "A. B. C. but has a { brace.")                // brace → drop
+    ).toDF("doc_id", "text")
+    val kept = docs.where(!graft.functions.TextFunctions.c4PageDrop(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
 }

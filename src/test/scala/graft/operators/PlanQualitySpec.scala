@@ -381,6 +381,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"simhash should live in a codegen span:\n$plan")
   }
 
+  test("C4 rule pack (q69) is one codegen projection — no shuffle, no Encoder round-trip") {
+    // the whole C4 stack (line filter + counts + page flags) must plan as a
+    // single scan-local projection over the parquet scan: ONE pass of the
+    // c4_clean kernel inside whole-stage codegen, zero Exchanges — at 10^12
+    // docs this stage must cost exactly one read of the corpus
+    val q = graft.SparkEntry.queries("q69_c4_rules")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"C4 pack must be scan-local:\n$plan")
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"C4 pack must not round-trip through Encoders:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("c4_clean") && l.contains("*(")),
+      s"c4_clean must sit in a codegen span:\n$plan")
+    // the projection references the kernel once per extracted field; inside
+    // the codegen span subexpression elimination evaluates it ONCE per row —
+    // that only holds while the conf stays at its default
+    assert(spark.conf.get("spark.sql.subexpressionElimination.enabled") == "true",
+      "struct-field fan-out relies on codegen subexpression elimination")
+  }
+
   test("IVF assignment is a codegen projection (no Encoder round-trip, no join)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.where(col("vec_id") % 50 === 0)
