@@ -553,6 +553,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.gopherColumns(injected): _*)
     }),
+    "q70_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (30 min) via Spark's NATIVE session_window
+      // aggregation — one shuffle on user_id, sessions merged inside the
+      // aggregate operator, no window function; the oracle replays the
+      // equivalent lag+running-count formulation (boundary pinned: an event
+      // at exactly prev+gap still MERGES — Spark merges touching windows —
+      // so the lag twin flags strictly diff > gap, integral microseconds)
+      graft.operators.Sessionize.sessions(t(s, dir, "events"), gapSec = 1800)),
     "q69_c4_rules" -> ((s, dir) => {
       // the C4 heuristic cleaning stack on deterministically injected line
       // structure exercising EVERY rule: every 4th doc gets (kept sentence
@@ -1593,6 +1601,20 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS DOUBLE)
                   / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
          FROM lx""",
+    "q70_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS tus,
+                           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM events),
+         f AS (SELECT user_id, ts, tus,
+                      CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM x),
+         s AS (SELECT user_id, ts, tus,
+                      sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+               FROM f)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events,
+                CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+         FROM s GROUP BY user_id, seq""",
     "q69_c4_rules" ->
       """WITH inj AS (
            SELECT doc_id,

@@ -258,4 +258,43 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.toSet === want)
     assert(want.nonEmpty)
   }
+
+  test("streaming native session_window == batch Sessionize.sessions (q70 semantics)") {
+    // the same Sessionize.sessions call under readStream: append mode emits
+    // a session only once the watermark passes it, so a far-future sentinel
+    // user pushes the watermark past every real session in the final
+    // trigger; the sentinel's own (never-closed) session must not appear
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val d = java.nio.file.Files.createTempDirectory("events_sesswin").toString
+    val n = events.agg(max("event_id")).head().getLong(0) + 1
+    for (i <- 0 until 2) {
+      events.where(col("event_id") >= i * n / 2 && col("event_id") < (i + 1) * n / 2)
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100)
+    }
+    events.limit(1).select(
+      lit(n).as("event_id"),
+      lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(d)
+    // watermarks require TIMESTAMP (not the parquet NTZ flavor) — cast on
+    // both sides so the session bounds collect identically
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "30 minutes")
+    val q = graft.operators.Sessionize.sessions(stream, gapSec = 1800).writeStream
+      .format("memory").queryName("sesswin_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events", "duration_us")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)].collect().toSet
+    val got = canon(spark.table("sesswin_test").where(col("user_id") >= 0))
+    val want = canon(graft.operators.Sessionize.sessions(
+      events.withColumn("ts", col("ts").cast("timestamp")), gapSec = 1800))
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
