@@ -553,6 +553,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.gopherColumns(injected): _*)
     }),
+    "q71_domain_cap" -> ((s, dir) => {
+      // per-domain cap on deterministically injected URLs (the corpus has
+      // no url column — q57 injection pattern): 37 synthetic hosts over 500
+      // docs ≈ 13.5 docs/host, so a cap of 10 provably bites; the kept set
+      // is the salted-md5-smallest 10 per host, byte-stable by construction
+      val url = concat(lit("https://www.site"), (col("doc_id") % 37).cast("string"),
+        lit(".example.org/"), col("lang"), lit("/"), col("doc_id").cast("string"))
+      val docs = t(s, dir, "documents").withColumn("domain",
+        graft.functions.TextFunctions.hostOf(url))
+      graft.operators.Dedup.domainCap(docs, maxPerDomain = 10)
+    }),
     "q70_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30 min) via Spark's NATIVE session_window
       // aggregation — one shuffle on user_id, sessions merged inside the
@@ -1601,6 +1612,21 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS DOUBLE)
                   / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
          FROM lx""",
+    "q71_domain_cap" ->
+      """WITH u AS (SELECT doc_id, lang,
+                  'https://www.site' || CAST(doc_id %% 37 AS VARCHAR) || '.example.org/' ||
+                  lang || '/' || CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+         h AS (SELECT doc_id,
+                      regexp_replace(regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '^www\.', '') AS domain,
+                      md5(CAST(doc_id AS VARCHAR) || 'dom') || '#' ||
+                        CAST(doc_id AS VARCHAR) AS rk
+               FROM u),
+         r AS (SELECT doc_id, domain,
+                      row_number() OVER (PARTITION BY domain ORDER BY rk) AS rn
+               FROM h)
+         SELECT doc_id, domain FROM r WHERE rn <= 10""",
     "q70_sessionize" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS tus,
                            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -153,6 +153,18 @@ object TextFunctions {
                     salt: String = "mix"): DataFrame =
     docs.where(mixtureFilter(col(idCol), col(srcCol), weights, defaultWeight, salt))
 
+  /**
+   * Host extraction from a URL: scheme-prefixed authority, lowercased, with
+   * a leading `www.` stripped — the grouping key for per-domain caps and
+   * crawl accounting. Regex constructs restricted to Java/RE2-identical
+   * semantics (the q57 lesson); ports/userinfo are kept as part of the
+   * authority. Scan-local; DuckDB-oracle-checked as part of q71.
+   */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+      "^www\\.", "")
+
   /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)

@@ -614,6 +614,34 @@ object Dedup {
   }
 
   /**
+   * Per-domain document cap — the web-crawl curation knob that stops a
+   * single boilerplate-heavy host from dominating the corpus: keep at most
+   * `maxPerDomain` docs per domain, chosen DETERMINISTICALLY by salted
+   * content-derived md5 order (the q38/q63 mechanism) so the kept set is a
+   * uniform per-domain sample that is byte-stable across reruns, partitions
+   * and cluster sizes — never "first N encountered", which depends on scan
+   * order. Shuffle shape: ONE groupBy on the domain with the k-bounded
+   * `topk_by` aggregate (all scores tie at 0.0, so the (score desc, key asc)
+   * order reduces to md5-key ascending): only k-entry buffers cross the
+   * shuffle, map-side combined — a mega-host with 10^9 pages costs the same
+   * network as one with k. The doc id rides the buffer as payload (no
+   * join-back). DuckDB-oracle-checked (q71).
+   */
+  def domainCap(docs: DataFrame, maxPerDomain: Int,
+                domainCol: String = "domain", idCol: String = "doc_id",
+                salt: String = "dom"): DataFrame = {
+    val rank = concat(
+      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")),
+      lit("#"), col(idCol).cast("string"))
+    docs.select(col(domainCol), col(idCol), rank.as("rk"))
+      .groupBy(col(domainCol))
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        lit(0.0), col("rk"), col(idCol), maxPerDomain).as("top"))
+      .select(col(domainCol), explode(col("top")).as("e"))
+      .select(col("e.payload").as(idCol), col(domainCol))
+  }
+
+  /**
    * Banded sign-bit LSH: `bands` independent bucket keys, each from `planes`
    * seeded hyperplanes (a pair within cosine θ collides in a band with prob
    * (1 − acos(θ)/π)^planes; missing ALL bands is exponentially unlikely).

@@ -479,4 +479,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(stats.forall(r => r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1))
     assert(stats.forall(r => r.getAs[String]("fp16").length == 16))
   }
+
+  test("domainCap: md5-order keepers, cap enforced, partitioning-invariant") {
+    // 3 hosts with 25/7/1 docs, cap 5: big host capped to its 5
+    // md5-smallest ids, small hosts pass through whole
+    val docs = spark.range(33).select(
+      col("id").as("doc_id"),
+      when(col("id") < 25, "a.com").when(col("id") < 32, "b.org")
+        .otherwise("c.net").as("domain"))
+    val kept = Dedup.domainCap(docs, maxPerDomain = 5)
+      .as[(Long, String)].collect().toSet
+    val perDomain = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(perDomain("a.com").size === 5 && perDomain("b.org").size === 5
+      && perDomain("c.net") === Set(32L))
+    // brute-force replay of the salted-md5 order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantA = (0L until 25L).sortBy(i => md5hex(s"${i}dom") + "#" + i).take(5).toSet
+    assert(perDomain("a.com") === wantA, "keepers must be the md5-smallest ids")
+    // deterministic across partitionings
+    val kept11 = Dedup.domainCap(docs.repartition(11, col("doc_id")), 5)
+      .as[(Long, String)].collect().toSet
+    assert(kept11 === kept)
+    // scale shape: k-bounded aggregate, no Window, no Sort
+    val q = Dedup.domainCap(docs, 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"domainCap must not plan a Window:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"domainCap must combine k-entry buffers map-side:\n$plan")
+  }
 }
