@@ -553,6 +553,20 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +:
         graft.functions.TextFunctions.gopherColumns(injected): _*)
     }),
+    "q72_hilbert_cells" -> ((s, dir) => {
+      // Hilbert cell ids over arithmetic-derived integer grid coordinates;
+      // the transform is integer-only rotate/reflect folds, so the oracle
+      // replays it BIT-EXACTLY as a recursive CTE (one step per level).
+      // Midpoint coordinates: (ix + 0.5) * 2^15 is exact in binary FP and
+      // floors back to ix under the ZGrid/HilbertGrid 2^25-span mapping
+      val pk = col("p_partkey").cast("long")
+      val ix = ((pk * 7 + 13) % 1024).cast("double")
+      val iy = ((pk * 11 + 5) % 1024).cast("double")
+      t(s, dir, "part").select(pk.as("key"),
+        org.apache.spark.sql.graft.GeoFunctionsImpl.hilbert_encode(
+          (ix + lit(0.5)) * lit(32768.0), (iy + lit(0.5)) * lit(32768.0),
+          lit(10)).as("cell"))
+    }),
     "q71_domain_cap" -> ((s, dir) => {
       // per-domain cap on deterministically injected URLs (the corpus has
       // no url column — q57 injection pattern): 37 synthetic hosts over 500
@@ -1612,6 +1626,27 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS DOUBLE)
                   / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac
          FROM lx""",
+    "q72_hilbert_cells" ->
+      """WITH RECURSIVE pts AS (
+           SELECT CAST(p_partkey AS BIGINT) AS key,
+                  CAST((p_partkey * 7 + 13) %% 1024 AS BIGINT) AS ix,
+                  CAST((p_partkey * 11 + 5) %% 1024 AS BIGINT) AS iy
+           FROM part),
+         walk(key, x, y, d, s) AS (
+           SELECT key, ix, iy, CAST(0 AS BIGINT), CAST(512 AS BIGINT) FROM pts
+           UNION ALL
+           SELECT key,
+             CASE WHEN (y & s) = 0
+                  THEN CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+                  ELSE x END,
+             CASE WHEN (y & s) = 0
+                  THEN CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+                  ELSE y END,
+             d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+                             CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+             s // 2
+           FROM walk WHERE s > 0)
+         SELECT key, d * 64 + 10 AS cell FROM walk WHERE s = 0""",
     "q71_domain_cap" ->
       """WITH u AS (SELECT doc_id, lang,
                   'https://www.site' || CAST(doc_id %% 37 AS VARCHAR) || '.example.org/' ||

@@ -47,6 +47,22 @@ case class ZEncodeExpr(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "z_encode"
 }
 
+/** Hilbert-curve cell id of a point at `level` ([[graft.core.HilbertGrid]]) —
+  * the clustering-order upgrade over z_encode: consecutive ids are always
+  * adjacent cells, so clustered layouts fragment less per query window. */
+case class HilbertEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def nullSafeEval(x: Any, y: Any, l: Any): Any =
+    graft.core.HilbertGrid.encode(x.asInstanceOf[Double], y.asInstanceOf[Double], l.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, l) => s"graft.core.HilbertGrid.encode($x, $y, $l)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "hilbert_encode"
+}
+
 /** WMTS tile id of a point at zoom z (packed long, [[graft.core.Tiles.pack]]). */
 case class TileOfExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
@@ -418,6 +434,8 @@ object GeoFunctionsImpl {
     column(HexEncodeExpr(expression(x), expression(y), expression(res)))
   def z_encode(x: Column, y: Column, level: Column): Column =
     column(ZEncodeExpr(expression(x), expression(y), expression(level)))
+  def hilbert_encode(x: Column, y: Column, level: Column): Column =
+    column(HilbertEncodeExpr(expression(x), expression(y), expression(level)))
   def tile_of(x: Column, y: Column, z: Column): Column =
     column(TileOfExpr(expression(x), expression(y), expression(z)))
   def st_covers_ring(ring: Column, x: Column, y: Column): Column =
@@ -459,6 +477,7 @@ object GeoFunctionsImpl {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("hex_encode", es => HexEncodeExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("z_encode", es => ZEncodeExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_encode", es => HilbertEncodeExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("tile_of", es => TileOfExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_covers_ring", es => PipContainsExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
