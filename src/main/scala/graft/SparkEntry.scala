@@ -929,6 +929,21 @@ object SparkEntry {
           maxHamming = 4, algo = "phash")
         .orderBy("doc_a", "doc_b")
     }),
+    "g13_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the embeddings table with planted near-duplicates
+      // (the q22 perturbation): every 25th vector gets a copy at cosine
+      // ~0.9999 — identical assignment puts copy and source in the same
+      // k-means cluster, so the within-cluster exact pass must catch every
+      // plant; keeper = component-min id. k-means floats are not
+      // ANSI-replicable → ScalaTest-gated + determinism-probed (g-row).
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(transform(col("embedding"), v => v + lit(0.001f)), 1, 1),
+            slice(col("embedding"), 2, 1000)).as("embedding"))
+      graft.operators.Dedup.semanticDedup(e.unionByName(planted),
+        minCosine = 0.999, nlist = 16)
+    }),
     "g6_banded_lsh" -> ((s, dir) =>
       // production-mode banded MinHash (16 bands × 4 rows, seeded 64-bit
       // hashes — the tunable recall knob the md5-slice q19 mode lacks). The

@@ -465,6 +465,68 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster the
+   * embedding space, compute EXACT pairwise cosine only WITHIN each cluster,
+   * connect pairs at `minCosine`, keep one representative (the component-min
+   * id — deterministic; the paper's centroid-distance keeper is a
+   * hyperparameter, min-id keeps the operator content-derived) per group.
+   * Complements [[embeddingNearDup]] (hyperplane-LSH candidates, recall
+   * knob): SemDeDup's clusters give locality-complete candidates inside a
+   * cluster at O(Σ cᵢ²) cost — the trade the paper makes, sized so every
+   * cluster's pair set is tractable.
+   *
+   * Scale shape: the centroid fit is the bounded ivfTopK pattern (≤ ~100
+   * rows per list ever reach the driver); assignment is the codegen
+   * `ivf_assign` projection (no Encoder round-trip on the 10^12-row side);
+   * clusters beyond `clusterCap` are capped OUT of the pair join via an
+   * aggregated anti-join (their rows are kept, flagged `capped` — no dedup
+   * evidence beats a task that never finishes, the lshPairs rule);
+   * the within-cluster self-join shuffles each row once per side, keyed on
+   * the cluster id; components use the O(log n)-round star CC.
+   * Returns (idCol, list_id, root, kept, capped) for every input row.
+   */
+  def semanticDedup(embs: DataFrame, minCosine: Double = 0.95,
+                    nlist: Int = 64, iters: Int = 5, clusterCap: Int = 20000,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sampleN = math.max(1000, nlist * 100)
+    val ranged = embs.select(col(idCol), col(vecCol))
+      .where(col(idCol) < lit(sampleN.toLong))
+      .as[(Long, Array[Float])].collect()
+    val sample = (if (ranged.length >= nlist) ranged
+      else embs.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(sampleN)
+        .as[(Long, Array[Float])].collect()).sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, "semanticDedup: no rows to fit centroids from")
+    val centroids = AnnSearch.kmeans(sample, nlist, iters)
+    val ivf = new org.apache.spark.sql.graft.IvfCentroids(
+      centroids.indices.map(_.toLong).toArray, centroids)
+    val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id",
+        org.apache.spark.sql.graft.VecFunctionsImpl.ivf_assign(col("v"), ivf))
+    val big = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > clusterCap).select(col("list_id"))
+    val inPlay = assigned.join(big, Seq("list_id"), "left_anti")
+    val aSide = inPlay.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val bSide = inPlay.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = aSide.join(bSide, Seq("list_id"))
+      .where(col("id_a") < col("id_b") &&
+        AnnSearch.cosine(col("v_a"), col("v_b")) >= minCosine)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    // star-CC roots are component minima, so root == id IS the keeper test
+    val cc = connectedComponents(pairs, checkpointDir = checkpointDir)
+      .withColumnRenamed("node", "id")
+    assigned.join(big.withColumn("capped", lit(true)), Seq("list_id"), "left")
+      .join(cc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("list_id"),
+        coalesce(col("root"), col("id")).as("root"),
+        (coalesce(col("root"), col("id")) === col("id")).as("kept"),
+        coalesce(col("capped"), lit(false)).as("capped"))
+  }
+
+  /**
    * Connected components over a near-duplicate pair graph — the grouping
    * step every real dedup pipeline needs (keep ONE document per transitive
    * duplicate CLUSTER, not per pair). Alternating large-star / small-star

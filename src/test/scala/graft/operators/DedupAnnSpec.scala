@@ -480,6 +480,56 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(stats.forall(r => r.getAs[String]("fp16").length == 16))
   }
 
+  test("semanticDedup: planted duplicates collapse; within-cluster pairs == brute force; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = e.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(slice(transform(col("embedding"), v => v + lit(0.001f)), 1, 1),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+    val all = e.unionByName(planted)
+    val out = Dedup.semanticDedup(all, minCosine = 0.999, nlist = 16)
+    val rows = out.as[(Long, Long, Long, Boolean, Boolean)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.length.toLong === all.count(), "one output row per input row")
+    assert(!rows.exists(_._5), "no cluster should hit the cap at this scale")
+    // every planted copy loses to its source (component-min keeper)
+    val plantedIds = rows.map(_._1).filter(_ >= 1000000L)
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { p =>
+      assert(!byId(p)._4, s"planted copy $p must not be kept")
+      assert(byId(p)._3 === p - 1000000L, s"planted copy $p must root at its source")
+      assert(byId(p - 1000000L)._4, s"source of $p must be the keeper")
+    }
+    // exhaustive within-cluster parity: a pair is connected iff same
+    // cluster AND exact cosine >= threshold — replay on the driver
+    val vecs = all.as[(Long, Array[Float])].collect().toMap
+    val clusterOf = rows.map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray.sorted
+    val wantPairs = for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if clusterOf(ids(i)) == clusterOf(ids(j)) &&
+        cos(vecs(ids(i)), vecs(ids(j))) >= 0.999
+    } yield (ids(i), ids(j))
+    val wantRoots = Dedup.bruteComponents(wantPairs.toSeq)
+    rows.foreach { case (id, _, root, kept, _) =>
+      val wantRoot = wantRoots.getOrElse(id, id)
+      assert(root === wantRoot, s"root mismatch for $id")
+      assert(kept === (wantRoot == id))
+    }
+    // content-derived ⇒ identical across partitionings
+    val out7 = Dedup.semanticDedup(all.repartition(7, col("vec_id")),
+      minCosine = 0.999, nlist = 16)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    assert(out7 === rows.toSet)
+  }
+
   test("domainCap: md5-order keepers, cap enforced, partitioning-invariant") {
     // 3 hosts with 25/7/1 docs, cap 5: big host capped to its 5
     // md5-smallest ids, small hosts pass through whole
