@@ -666,6 +666,23 @@ object SparkEntry {
         .select(col("poly_id"), col("area"),
           col("c.cx").as("cx"), col("c.cy").as("cy"))
     }),
+    "q73_ring_perimeter" -> ((s, dir) => {
+      // st_perimeter over the q67 dyadic L-shaped rings: edge squared
+      // lengths are exact, sqrt is correctly-rounded IEEE on both engines,
+      // and the kernel sums in ASCENDING length order — which DuckDB's
+      // list_sum(list_sort(...)) replays as the identical sequential fold
+      // (bit-exact despite irrational terms)
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_perimeter
+      val pk = col("p_partkey").cast("long")
+      val cx = (pk % 10).cast("double") * 4.0
+      val cy = expr("CAST(p_partkey AS BIGINT) div 10").cast("double") * 4.0
+      val w = lit(1.0) + (pk % 4).cast("double") * 0.5
+      val h = lit(1.0) + (expr("CAST(p_partkey AS BIGINT) div 4") % 4).cast("double") * 0.25
+      val xs = array(cx, cx + w, cx + w, cx + w * 0.5, cx + w * 0.5, cx)
+      val ys = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), st_perimeter(xs, ys).as("perimeter"))
+    }),
     "q66_span_dedup" -> ((s, dir) => {
       // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
       // planted 14-token footer appended to every 5th doc: each footer
@@ -1825,6 +1842,24 @@ object SparkEntry {
          SELECT poly_id, abs(ss) * 0.5::DOUBLE AS area,
                 sx / (ss * 3.0::DOUBLE) AS cx, sy / (ss * 3.0::DOUBLE) AS cy
          FROM s""",
+    "q73_ring_perimeter" ->
+      """WITH p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                  CAST(p_partkey %% 10 AS DOUBLE) * 4.0::DOUBLE AS cx,
+                  CAST((p_partkey // 10) AS DOUBLE) * 4.0::DOUBLE AS cy,
+                  1.0::DOUBLE + CAST(p_partkey %% 4 AS DOUBLE) * 0.5::DOUBLE AS w,
+                  1.0::DOUBLE + CAST((p_partkey // 4) %% 4 AS DOUBLE) * 0.25::DOUBLE AS h
+           FROM part WHERE p_partkey < 200),
+         v AS (SELECT poly_id,
+                 [cx, cx + w, cx + w, cx + w * 0.5::DOUBLE, cx + w * 0.5::DOUBLE, cx] AS xs,
+                 [cy, cy, cy + h * 0.5::DOUBLE, cy + h * 0.5::DOUBLE, cy + h, cy + h] AS ys
+               FROM p)
+         SELECT poly_id,
+                list_sum(list_sort(
+                  [sqrt((xs[(i %% len(xs)) + 1] - xs[i]) * (xs[(i %% len(xs)) + 1] - xs[i]) +
+                        (ys[(i %% len(xs)) + 1] - ys[i]) * (ys[(i %% len(xs)) + 1] - ys[i]))
+                   FOR i IN range(1, len(xs) + 1)])) AS perimeter
+         FROM v""",
     "q66_span_dedup" ->
       """WITH inj AS (
            SELECT doc_id,

@@ -111,6 +111,18 @@ class GeomSpec extends AnyFunSuite {
     // degenerate rings: area 0
     assert(RingKernels.area(arr(2, 7), arr(3, 9)) === 0.0)
     assert(RingKernels.area(arr(5), arr(5)) === 0.0)
+    // perimeter: unit square = 4; 3-4-5 right triangle = 12 (irrational-free);
+    // L-shaped hexagon (w=2, h=1): w + h/2 + w/2 + h/2 + w/2 + h = 2w + 2h = 6
+    assert(RingKernels.perimeter(arr(0, 1, 1, 0), arr(0, 0, 1, 1)) === 4.0)
+    assert(RingKernels.perimeter(arr(0, 4, 0), arr(0, 0, 3)) === 12.0)
+    assert(RingKernels.perimeter(
+      arr(0, 2, 2, 1, 1, 0), arr(0, 0, 0.5, 0.5, 1, 1)) === 6.0)
+    // a diagonal edge: 1x1 right triangle = 2 + sqrt(2), bit-exact
+    assert(RingKernels.perimeter(arr(0, 1, 0), arr(0, 0, 1)) === 2.0 + math.sqrt(2.0))
+    // degenerate: single vertex / two-point "ring" (out-and-back)
+    assert(RingKernels.perimeter(arr(5), arr(5)) === 0.0)
+    assert(RingKernels.perimeter(arr(2, 7), arr(3, 9)) ===
+      2.0 * math.sqrt(25.0 + 36.0))
   }
 
   test("property: PreparedPolygon agrees with Polygon.covers (seeded)") {
