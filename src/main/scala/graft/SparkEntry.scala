@@ -567,6 +567,14 @@ object SparkEntry {
           (ix + lit(0.5)) * lit(32768.0), (iy + lit(0.5)) * lit(32768.0),
           lit(10)).as("cell"))
     }),
+    "q74_lm_coverage" -> ((s, dir) => {
+      // CCNet-style quality signal: reference = every 3rd doc, top-64
+      // bigrams; each doc scored by the fraction of its bigrams inside
+      // that set. All-integer until one final division → hash-exact
+      val docs = t(s, dir, "documents")
+      graft.functions.TextFunctions.lmCoverage(
+        docs, docs.where(col("doc_id") % 3 === 0), k = 64)
+    }),
     "q71_domain_cap" -> ((s, dir) => {
       // per-domain cap on deterministically injected URLs (the corpus has
       // no url column — q57 injection pattern): 37 synthetic hosts over 500
@@ -1679,6 +1687,34 @@ object SparkEntry {
              s // 2
            FROM walk WHERE s > 0)
          SELECT key, d * 64 + 10 AS cell FROM walk WHERE s = 0""",
+    "q74_lm_coverage" ->
+      """WITH rt AS (SELECT string_split(lower(text), ' ') AS w
+                     FROM documents WHERE doc_id %% 3 = 0),
+         rg AS (SELECT unnest(CASE WHEN len(w) >= 2
+                  THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                  ELSE [] END) AS gram FROM rt),
+         rc AS (SELECT gram, count(*) AS cnt FROM rg GROUP BY 1),
+         top AS (SELECT gram FROM (
+                   SELECT gram, row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM rc) WHERE rn <= 64),
+         dt AS (SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS w
+                FROM documents),
+         dg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(w) >= 2
+                    THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                    ELSE [] END) AS gram
+                FROM dt),
+         sc AS (SELECT dg.doc_id, count(*) AS n_grams,
+                       count(top.gram) AS n_hits
+                FROM dg LEFT JOIN top ON dg.gram = top.gram
+                GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(COALESCE(sc.n_hits, 0) AS BIGINT) AS n_hits,
+                CASE WHEN COALESCE(sc.n_grams, 0) > 0
+                     THEN CAST(sc.n_hits AS DOUBLE) / CAST(sc.n_grams AS DOUBLE)
+                     ELSE 0.0::DOUBLE END AS coverage
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
     "q71_domain_cap" ->
       """WITH u AS (SELECT doc_id, lang,
                   'https://www.site' || CAST(doc_id %% 37 AS VARCHAR) || '.example.org/' ||

@@ -292,6 +292,48 @@ object TextFunctions {
   }
 
   /**
+   * Reference-LM coverage score (the exact-arithmetic core of CCNet-style
+   * LM quality filtering): build the reference corpus's top-`k` word
+   * n-grams, then score each document by the fraction of ITS n-grams that
+   * appear in that reference set — high coverage = typical of the reference
+   * (e.g. Wikipedia), low = noise/boilerplate/another register. CCNet ranks
+   * by Kneser-Ney perplexity; coverage is the ln()-free proxy that keeps
+   * the operator DuckDB-oracle-checkable (q74 — the same reason TF-IDF's
+   * ranks are StrictMath-replayed instead): counts and one final division,
+   * bit-deterministic.
+   *
+   * Scale shape: reference n-gram counts are one hash groupBy (map-side
+   * combined); the global top-k is the k-bounded `topk_by` aggregate
+   * (cnt desc, gram asc — deterministic ties), so only k-entry buffers
+   * reach the driver-free final merge; the top set is k rows BY
+   * CONSTRUCTION → broadcast equi-join against the exploded doc grams (the
+   * 10^12-row side never shuffles for the join); per-doc hits/totals are
+   * one more map-side-combined groupBy. Gate use: semi-join ids where
+   * `coverage >= m`.
+   */
+  def lmCoverage(docs: DataFrame, refDocs: DataFrame, k: Int = 4096, n: Int = 2,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = (c: Column) => org.apache.spark.sql.graft.TextFunctionsImpl
+      .shingle_make(coalesce(c, lit("")), lit(n))
+    val refTop = refDocs.select(explode(sh(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .agg(org.apache.spark.sql.graft.GeoFunctionsImpl.topk_by(
+        col("cnt").cast("double"), col("gram"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.key").as("gram"), lit(1).as("hit"))
+    docs.select(col(idCol).as("doc_id"), explode_outer(sh(col(textCol))).as("gram"))
+      .join(broadcast(refTop), Seq("gram"), "left")
+      .groupBy("doc_id")
+      // count(gram), not count(*): the explode_outer null row (gramless doc)
+      // must count 0
+      .agg(count(col("gram")).as("n_grams"), count(col("hit")).as("n_hits"))
+      .withColumn("coverage",
+        when(col("n_grams") > 0L,
+          col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * TF-IDF keyword extraction: the top-k terms of each document by
    * tf · ln(N/df), ties broken by term — corpus-level keyword/topic
    * signal for curation and inspection. Shuffle shape: one groupBy for

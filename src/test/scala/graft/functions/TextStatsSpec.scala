@@ -132,6 +132,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(nulls.getString(1) === "" && nulls.getInt(2) === 1 && nulls.getInt(3) === 0)
   }
 
+  test("lmCoverage: known fractions, gramless docs, top-k tie boundary") {
+    import org.apache.spark.sql.functions._
+    // reference: "a b" x3, "b c" x2, "c d" x1 — top-2 = {a b, b c}
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "b c"), (5L, "b c"), (6L, "c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"),     // grams: "a b","b c" → 2/2
+      (11L, "c d e"),     // grams: "c d","d e" → 0/2
+      (12L, "a b x y"),   // grams: "a b","b x","x y" → 1/3
+      (13L, "solo"),      // gramless
+      (14L, null: String) // null text
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.lmCoverage(docs, ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((2L, 2L, 1.0)))
+    assert(got(11L) === ((2L, 0L, 0.0)))
+    assert(got(12L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(got(13L) === ((0L, 0L, 0.0)))
+    assert(got(14L) === ((0L, 0L, 0.0)))
+    // tie at the k boundary resolves by gram ascending: with k=2 and "b c"
+    // tied against a hypothetical equal-count gram, determinism comes from
+    // (cnt desc, gram asc) — probe with an exact tie
+    val ref2 = Seq((1L, "a b"), (2L, "z z")).toDF("doc_id", "text") // both cnt 1
+    val got2 = TextFunctions.lmCoverage(Seq((20L, "a b z z")).toDF("doc_id", "text"),
+      ref2, k = 1).as[(Long, Long, Long, Double)].head()
+    // top-1 = "a b" (ascending tie-break); doc grams: "a b","b z","z z" → 1/3
+    assert(got2 === ((20L, 3L, 1L, 1.0 / 3.0)))
+  }
+
   test("c4PageDrop composes the paper's page rules") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

@@ -381,6 +381,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"simhash should live in a codegen span:\n$plan")
   }
 
+  test("LM coverage (q74): top-k ref set broadcasts, doc grams never shuffle for the join") {
+    // the reference top set is k rows BY CONSTRUCTION → its join against
+    // the exploded doc grams must be a BroadcastHashJoin (an SMJ would
+    // shuffle the 10^12-row side's grams); the global top-k must be the
+    // bounded aggregate, not a sort
+    val q = graft.SparkEntry.queries("q74_lm_coverage")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ref top-k set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"doc grams must never sort-merge:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"global top-k must be the bounded aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no Window anywhere in q74:\n$plan")
+  }
+
   test("C4 rule pack (q69) is one codegen projection — no shuffle, no Encoder round-trip") {
     // the whole C4 stack (line filter + counts + page flags) must plan as a
     // single scan-local projection over the parquet scan: ONE pass of the
