@@ -691,6 +691,27 @@ object SparkEntry {
       t(s, dir, "part").where(col("p_partkey") < 200)
         .select(pk.as("poly_id"), st_perimeter(xs, ys).as("perimeter"))
     }),
+    "q75_ring_distance" -> ((s, dir) => {
+      // point-to-ring-boundary distance (codegen st_dist2_ring kernel) on
+      // the q67 dyadic rings with dyadic probe points (some inside, some
+      // out). The kernel's per-edge ops are single correctly-rounded IEEE
+      // steps on identical operands; the oracle spells the SAME expression
+      // tree per edge (DuckDB executes op-by-op, no FP contraction), so d2
+      // and sqrt(d2) hash-compare bit-exactly despite divisions
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_dist2_ring
+      val pk = col("p_partkey").cast("long")
+      val cx = (pk % 10).cast("double") * 4.0
+      val cy = expr("CAST(p_partkey AS BIGINT) div 10").cast("double") * 4.0
+      val w = lit(1.0) + (pk % 4).cast("double") * 0.5
+      val h = lit(1.0) + (expr("CAST(p_partkey AS BIGINT) div 4") % 4).cast("double") * 0.25
+      val xs = array(cx, cx + w, cx + w, cx + w * 0.5, cx + w * 0.5, cx)
+      val ys = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
+      val px = cx + ((pk % 8).cast("double") * lit(0.375) - lit(0.75))
+      val py = cy + ((pk % 5).cast("double") * lit(0.4375) - lit(0.5))
+      val d2 = st_dist2_ring(xs, ys, px, py)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), d2.as("d2"), sqrt(d2).as("dist"))
+    }),
     "q66_span_dedup" -> ((s, dir) => {
       // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
       // planted 14-token footer appended to every 5th doc: each footer
@@ -1896,6 +1917,36 @@ object SparkEntry {
                         (ys[(i %% len(xs)) + 1] - ys[i]) * (ys[(i %% len(xs)) + 1] - ys[i]))
                    FOR i IN range(1, len(xs) + 1)])) AS perimeter
          FROM v""",
+    "q75_ring_distance" ->
+      """WITH p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                  CAST(p_partkey %% 10 AS DOUBLE) * 4.0::DOUBLE AS cx,
+                  CAST((p_partkey // 10) AS DOUBLE) * 4.0::DOUBLE AS cy,
+                  1.0::DOUBLE + CAST(p_partkey %% 4 AS DOUBLE) * 0.5::DOUBLE AS w,
+                  1.0::DOUBLE + CAST((p_partkey // 4) %% 4 AS DOUBLE) * 0.25::DOUBLE AS h,
+                  CAST(p_partkey %% 8 AS DOUBLE) * 0.375::DOUBLE - 0.75::DOUBLE AS pox,
+                  CAST(p_partkey %% 5 AS DOUBLE) * 0.4375::DOUBLE - 0.5::DOUBLE AS poy
+           FROM part WHERE p_partkey < 200),
+         v AS (SELECT poly_id, cx + pox AS px, cy + poy AS py,
+                 [cx, cx + w, cx + w, cx + w * 0.5::DOUBLE, cx + w * 0.5::DOUBLE, cx] AS xs,
+                 [cy, cy, cy + h * 0.5::DOUBLE, cy + h * 0.5::DOUBLE, cy + h, cy + h] AS ys
+               FROM p),
+         e AS (SELECT poly_id, px, py,
+                 unnest([xs[i] FOR i IN range(1, 7)]) AS x1,
+                 unnest([ys[i] FOR i IN range(1, 7)]) AS y1,
+                 unnest([xs[(i %% 6) + 1] FOR i IN range(1, 7)]) AS x2,
+                 unnest([ys[(i %% 6) + 1] FOR i IN range(1, 7)]) AS y2
+               FROM v),
+         t1 AS (SELECT poly_id, px, py, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy FROM e),
+         t2 AS (SELECT *, dx * dx + dy * dy AS l2 FROM t1),
+         t3 AS (SELECT *, CASE WHEN l2 = 0.0::DOUBLE THEN 0.0::DOUBLE
+                               ELSE GREATEST(0.0::DOUBLE, LEAST(1.0::DOUBLE,
+                                    ((px - x1) * dx + (py - y1) * dy) / l2)) END AS t
+                FROM t2),
+         t4 AS (SELECT poly_id, px - (x1 + t * dx) AS ex, py - (y1 + t * dy) AS ey
+                FROM t3),
+         d AS (SELECT poly_id, min(ex * ex + ey * ey) AS d2 FROM t4 GROUP BY 1)
+         SELECT poly_id, d2, sqrt(d2) AS dist FROM d""",
     "q66_span_dedup" ->
       """WITH inj AS (
            SELECT doc_id,

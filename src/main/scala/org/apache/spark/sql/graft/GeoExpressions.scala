@@ -394,6 +394,35 @@ object RingKernels {
       Array[Any](sx / (ss * 3.0), sy / (ss * 3.0)))
   }
 
+  /** Squared distance from (px, py) to the ring BOUNDARY = min over edges of
+    * the point-to-segment squared distance. Bit-reproducible across engines
+    * because every step is ONE correctly-rounded IEEE op on identical
+    * operands in a fixed tree — Java never auto-FMAs and DuckDB executes
+    * expression trees op-by-op (no contraction), so the q75 replay (the
+    * same tree, spelled per-edge in SQL) hash-compares exactly; min is
+    * order-free. Degenerate edges (l2 == 0) fall back to the vertex
+    * distance; rings with < 2 points return the vertex distance or NaN for
+    * empty input (same as the SQL replay's NULL → left-join contract). */
+  def dist2ToRing(xs: ArrayData, ys: ArrayData, px: Double, py: Double): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    if (n == 0) return Double.NaN
+    var best = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val x1 = xs.getDouble(i); val y1 = ys.getDouble(i)
+      val dx = xs.getDouble(j) - x1; val dy = ys.getDouble(j) - y1
+      val l2 = dx * dx + dy * dy
+      val t = if (l2 == 0.0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / l2))
+      val ex = px - (x1 + t * dx); val ey = py - (y1 + t * dy)
+      val d2 = ex * ex + ey * ey
+      if (d2 < best) best = d2
+      i += 1
+    }
+    best
+  }
+
   /** Ring perimeter = Σ edge lengths, summed in ASCENDING length order —
     * sqrt() is correctly rounded IEEE on both engines and a sorted
     * sequential fold is bit-reproducible (probed: DuckDB list_sum over
@@ -418,6 +447,26 @@ object RingKernels {
     while (i < n) { s += len(i); i += 1 }
     s
   }
+}
+
+/** st_dist2_ring(xs, ys, px, py) → squared point-to-ring-boundary distance;
+  * fully codegen ([[RingKernels.dist2ToRing]]). */
+case class StDist2RingExpr(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType, DoubleType)
+  override def nullSafeEval(xs: Any, ys: Any, px: Any, py: Any): Any =
+    RingKernels.dist2ToRing(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
+      px.asInstanceOf[Double], py.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, x, y) =>
+      s"org.apache.spark.sql.graft.RingKernels.dist2ToRing($a, $b, $x, $y)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_dist2_ring"
 }
 
 /** st_perimeter(xs, ys) → ring perimeter (sorted-fold sum); fully codegen. */
@@ -500,6 +549,8 @@ object GeoFunctionsImpl {
     column(StCentroidExpr(expression(xs), expression(ys)))
   def st_perimeter(xs: Column, ys: Column): Column =
     column(StPerimeterExpr(expression(xs), expression(ys)))
+  def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
+    column(StDist2RingExpr(expression(xs), expression(ys), expression(px), expression(py)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
   def knn_topk(d2: Column, id: Column, k: Int): Column =
     column(KnnTopKAgg(expression(d2), expression(id), k).toAggregateExpression())
@@ -527,6 +578,8 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_area", es => StAreaExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_centroid", es => StCentroidExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_perimeter", es => StPerimeterExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_dist2_ring",
+      es => StDist2RingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("long_topk", LongTopKAgg.fromSql, "built-in")

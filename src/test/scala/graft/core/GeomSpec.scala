@@ -123,6 +123,17 @@ class GeomSpec extends AnyFunSuite {
     assert(RingKernels.perimeter(arr(5), arr(5)) === 0.0)
     assert(RingKernels.perimeter(arr(2, 7), arr(3, 9)) ===
       2.0 * math.sqrt(25.0 + 36.0))
+    // point-to-boundary distance on the unit square: center → 0.25 (squared
+    // to the nearest edge), boundary point → 0, outside corner → diagonal
+    val (sx, sy) = (arr(0, 1, 1, 0), arr(0, 0, 1, 1))
+    assert(RingKernels.dist2ToRing(sx, sy, 0.5, 0.5) === 0.25)
+    assert(RingKernels.dist2ToRing(sx, sy, 1.0, 0.5) === 0.0)
+    assert(RingKernels.dist2ToRing(sx, sy, 2.0, 2.0) === 2.0)
+    assert(RingKernels.dist2ToRing(sx, sy, 0.5, -3.0) === 9.0)
+    // interior asymmetric point: nearest edge is the bottom (y = 0.25)
+    assert(RingKernels.dist2ToRing(sx, sy, 0.5, 0.25) === 0.0625)
+    // degenerate edge (repeated vertex) falls back to vertex distance
+    assert(RingKernels.dist2ToRing(arr(1, 1), arr(2, 2), 4.0, 6.0) === 25.0)
   }
 
   test("property: PreparedPolygon agrees with Polygon.covers (seeded)") {
