@@ -381,6 +381,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"simhash should live in a codegen span:\n$plan")
   }
 
+  test("sessionize (q70): one entity-key shuffle, map-side partials, pruned scan") {
+    // native session_window: partial per-event aggregation BEFORE the
+    // exchange, sessions merged after ONE shuffle on user_id; the
+    // within-partition Sort is semantic (order-dependent merge). The scan
+    // must read only (ts, user_id) — props/value/event_type never leave
+    // parquet
+    val q = graft.SparkEntry.queries("q70_sessionize")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"sessionize must shuffle exactly once, on the entity key:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(user_id"),
+      s"the one shuffle must key on user_id:\n$plan")
+    assert(plan.contains("partial_min") && plan.contains("MergingSessions"),
+      s"per-event partials must combine map-side before the session merge:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("user_id") && !read.contains("props"),
+      s"scan must prune to (ts, user_id):\n$read")
+  }
+
   test("LM coverage (q74): top-k ref set broadcasts, doc grams never shuffle for the join") {
     // the reference top set is k rows BY CONSTRUCTION → its join against
     // the exploded doc grams must be a BroadcastHashJoin (an SMJ would
