@@ -975,6 +975,11 @@ object SparkEntry {
           maxHamming = 4, algo = "phash")
         .orderBy("doc_a", "doc_b")
     }),
+    "g14_corpus_report" -> ((s, dir) =>
+      // one-pass per-source curation dashboard; every aggregate is
+      // partition-order invariant (no double sums, no order-dependent
+      // sketches), so the g-row rides the 4-vs-8-core determinism probe
+      graft.functions.TextFunctions.corpusReport(t(s, dir, "documents"))),
     "g13_semantic_dedup" -> ((s, dir) => {
       // SemDeDup over the embeddings table with planted near-duplicates
       // (the q22 perturbation): every 25th vector gets a copy at cosine

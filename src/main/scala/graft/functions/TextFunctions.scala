@@ -514,6 +514,36 @@ object TextFunctions {
         !contains(lower(l), lit("javascript"))), "\n")
   }
 
+  /**
+   * One-pass per-source corpus report — the curation dashboard every
+   * pretraining run starts from: document/token totals, near-exact distinct
+   * content fingerprints (HLL — register-exact partition invariance, so the
+   * report is byte-stable across cluster sizes), token-count spread, and
+   * the predicted-language census. ONE map-side-combined groupBy over the
+   * scan; every aggregate is partition-order INVARIANT (sums of integers,
+   * min/max, HLL max-merge, exact sort-based percentiles) — deliberately no
+   * double sums and no KLL/MG here, whose outputs are processing-order
+   * dependent (swap `percentile` → `kll_quantiles` at the 100-TB scale
+   * where an exact per-group sort is not worth it and run-boundary
+   * reproducibility is relaxed). Not DuckDB-oracled (HLL has no SQL
+   * counterpart); rides the determinism probe as g14.
+   */
+  def corpusReport(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val toks = size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
+    docs.select(col(srcCol).as("source"), toks.as("toks"),
+        fingerprint(col(textCol)).as("fp"), langId(col(textCol)).as("lang_pred"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        org.apache.spark.sql.graft.TextFunctionsImpl.hll_count(col("fp"), 12)
+          .as("distinct_fp"),
+        min(col("toks")).as("tok_min"),
+        expr("percentile(toks, array(0.5, 0.9, 0.99))").as("tok_pcts"),
+        max(col("toks")).as("tok_max"),
+        countDistinct(col("lang_pred")).as("n_langs"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)
