@@ -712,6 +712,19 @@ object SparkEntry {
       t(s, dir, "part").where(col("p_partkey") < 200)
         .select(pk.as("poly_id"), d2.as("d2"), sqrt(d2).as("dist"))
     }),
+    "q76_norm_text" -> ((s, dir) => {
+      // CCNet-style pre-LM normalization (codegen norm_text kernel): NFD
+      // accent strip + simple lowercase + control/whitespace collapse. The
+      // corpus is pure ASCII, so Latin accents, a tab, and two C0 controls
+      // are injected deterministically; the oracle replays with DuckDB's
+      // utf8proc-backed strip_accents + lower + one regexp collapse
+      val txt = coalesce(col("text"), lit(""))
+      val injected = when(col("doc_id") % 3 === 0,
+        concat(lit("  Résumé  Café\tNaïve "), txt,
+          lit(" Ñandú\u0001über\u0007 FAÇADE  "))).otherwise(txt)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.normText(injected).as("norm"))
+    }),
     "q66_span_dedup" -> ((s, dir) => {
       // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
       // planted 14-token footer appended to every 5th doc: each footer
@@ -1952,6 +1965,15 @@ object SparkEntry {
                 FROM t3),
          d AS (SELECT poly_id, min(ex * ex + ey * ey) AS d2 FROM t4 GROUP BY 1)
          SELECT poly_id, d2, sqrt(d2) AS dist FROM d""",
+    "q76_norm_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(strip_accents(
+                  CASE WHEN doc_id %% 3 = 0
+                       THEN '  Résumé  Café' || chr(9) || 'Naïve ' || COALESCE(text, '')
+                            || ' Ñandú' || chr(1) || 'über' || chr(7) || ' FAÇADE  '
+                       ELSE COALESCE(text, '') END)),
+                  '[\x00-\x20\x7f]+', ' ', 'g')) AS norm
+         FROM documents""",
     "q66_span_dedup" ->
       """WITH inj AS (
            SELECT doc_id,

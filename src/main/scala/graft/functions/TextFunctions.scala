@@ -495,6 +495,20 @@ object TextFunctions {
     org.apache.spark.sql.graft.TextFunctionsImpl
       .c4_clean(coalesce(textCol, lit("")), lit(minWords)).getField("clean_text")
 
+  /**
+   * CCNet-style pre-LM text normalization (the cleanup every dedup/LM-scoring
+   * stage wants to share so signatures agree across mirrors): NFD accent
+   * strip → per-codepoint simple lowercase → control/whitespace runs collapse
+   * to one space → trim. One pass of the codegen `norm_text` kernel
+   * ([[org.apache.spark.sql.graft.NormTextKernel]]); scan-local, zero
+   * shuffle; null text == "". Cross-engine parity with DuckDB's
+   * utf8proc-backed `strip_accents` + `lower` is proven on injected Latin
+   * accents by the q76 oracle; non-Latin casing context (İ, final sigma) is
+   * out of contract.
+   */
+  def normText(textCol: Column): Column =
+    org.apache.spark.sql.graft.TextFunctionsImpl.norm_text(coalesce(textCol, lit("")))
+
   /** C4 page-level drop predicate: lorem-ipsum / curly-brace / too few
     * sentences (strictly fewer than `minSentences`). */
   def c4PageDrop(textCol: Column, minSentences: Int = 3): Column = {

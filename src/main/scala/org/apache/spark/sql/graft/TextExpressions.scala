@@ -421,6 +421,56 @@ case class C4CleanExpr(left: Expression, right: Expression)
   override def prettyName: String = "c4_clean"
 }
 
+/**
+ * One-pass text normalization (the CCNet-style pre-LM cleanup): NFD
+ * decomposition → drop combining marks (é→e, ü→u, ñ→n — DuckDB
+ * `strip_accents` semantics) → per-codepoint SIMPLE lowercase
+ * (`Character.toLowerCase(int)`, the utf8proc-style context-free mapping —
+ * deliberately NOT `String.toLowerCase`, whose locale/context rules expand
+ * İ and final-sigma differently from utf8proc) → controls and whitespace
+ * runs collapse to one space → trim. Cross-engine contract proven by the
+ * q76 oracle (`trim(regexp_replace(lower(strip_accents(t)), ...))`) on
+ * injected Latin accents; non-Latin case edges (Greek casing context) are
+ * out of contract.
+ */
+object NormTextKernel {
+  def eval(text: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFD)
+    val out = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        // exactly the oracle's [\s\x00-\x1f\x7f] class: all C0 controls,
+        // space, and DEL
+        val isSpace = cp <= 0x20 || cp == 0x7f
+        if (isSpace) { if (started) pendingSpace = true }
+        else {
+          if (pendingSpace) { out.append(' '); pendingSpace = false }
+          out.appendCodePoint(Character.toLowerCase(cp))
+          started = true
+        }
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** norm_text(text) — codegen'd static call into [[NormTextKernel]]. */
+case class NormTextExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(t: Any): Any =
+    NormTextKernel.eval(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"org.apache.spark.sql.graft.NormTextKernel.eval($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "norm_text"
+}
+
 object TextFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
@@ -450,4 +500,5 @@ object TextFunctionsImpl {
       expression(bands), expression(rows)))
   def c4_clean(text: Column, minWords: Column): Column =
     column(C4CleanExpr(expression(text), expression(minWords)))
+  def norm_text(text: Column): Column = column(NormTextExpr(expression(text)))
 }

@@ -198,4 +198,30 @@ class TextStatsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L))
   }
+
+  test("norm_text kernel: accent strip, control collapse, null, idempotence") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "  Résumé  Café\tNaïve  "),
+      (2L, "Ñandú\u0001über\u0007 FAÇADE"),
+      (3L, "plain ASCII Text"),
+      (4L, ""),
+      (5L, null: String),
+      (6L, "\u0000\u001f\u007f \r\n"),                  // controls only → ""
+      (7L, "Àéîõü çğšž")                                // wider Latin accents
+    ).toDF("doc_id", "text")
+    val norm = graft.functions.TextFunctions.normText(col("text"))
+    val got = docs.select(col("doc_id"), norm.as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "resume cafe naive")
+    assert(got(2L) === "nandu uber facade", "C0 controls are separators")
+    assert(got(3L) === "plain ascii text")
+    assert(got(4L) === "" && got(5L) === "" && got(6L) === "")
+    assert(got(7L) === "aeiou cgsz")
+    // idempotence — normalized text re-normalizes to itself, so signatures
+    // computed before and after a second pass agree
+    docs.select(norm.as("n1"),
+        graft.functions.TextFunctions.normText(norm).as("n2")).collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
 }

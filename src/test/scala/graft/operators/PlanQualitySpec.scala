@@ -438,6 +438,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "struct-field fan-out relies on codegen subexpression elimination")
   }
 
+  test("norm_text (q76) is one codegen projection — no shuffle, no Encoder round-trip") {
+    // normalization runs once per document before any signature stage; at
+    // 10^12 docs it must price as part of the scan, not as its own pass
+    val q = graft.SparkEntry.queries("q76_norm_text")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"norm_text must be scan-local:\n$plan")
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      s"norm_text must not round-trip through Encoders:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("norm_text") && l.contains("*(")),
+      s"norm_text must sit in a codegen span:\n$plan")
+  }
+
   test("IVF assignment is a codegen projection (no Encoder round-trip, no join)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.where(col("vec_id") % 50 === 0)
