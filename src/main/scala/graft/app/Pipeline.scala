@@ -71,7 +71,9 @@ object Pipeline {
    * q38 split): [optional PII scrub → C4 line filter + page rules (q69) →
    * repetition gate → benchmark decontamination → corpus-wide paragraph
    * dedup (q64) → duplicate-span dedup (q66)] → near-duplicate pairs over
-   * `textCol` → transitive
+   * `textCol` (with `normalizeForDedup` the pair/cluster signatures are
+   * computed over q76-normalized text — accent/case/whitespace-insensitive
+   * clustering — while output text stays raw) → transitive
    * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
    * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
@@ -93,7 +95,8 @@ object Pipeline {
              maxContamination: Double = 0.2,
              exactDecontamination: Boolean = false,
              paragraphDedup: Boolean = false,
-             spanDedupK: Option[Int] = None): DataFrame = {
+             spanDedupK: Option[Int] = None,
+             normalizeForDedup: Boolean = false): DataFrame = {
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -179,7 +182,16 @@ object Pipeline {
     }
     val rowsIn = spanDeduped
     val docs = rowsIn.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val pairs = graft.operators.Dedup.lshPairs(docs, minJaccard = minJaccard)
+    // optional CCNet-style signature normalization (the q76 kernel):
+    // near-dup CANDIDATE GENERATION sees accent/case/whitespace-normalized
+    // text, so mirrored copies with cosmetic differences still land in one
+    // cluster — while the output text and the quality score that picks the
+    // keeper stay raw. Scan-local rewrite, content-derived → byte-stable.
+    val sigDocs =
+      if (normalizeForDedup)
+        docs.withColumn("text", graft.functions.TextFunctions.normText(col("text")))
+      else docs
+    val pairs = graft.operators.Dedup.lshPairs(sigDocs, minJaccard = minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.Dedup.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")

@@ -218,6 +218,31 @@ class PipelineSpec extends AnyFunSuite {
       "every later copy of the boilerplate line is removed")
   }
 
+  test("normalizeForDedup: accented mirror clusters with its original only when on") {
+    import org.apache.spark.sql.functions._
+    // one doc plus a mirrored copy differing ONLY by Latin accents and
+    // whitespace runs (every token carries an accent → raw shingle sets are
+    // disjoint), plus an unrelated doc
+    val base = (1 to 12).map(i => s"tok${i}word").mkString(" ")
+    val accented = (1 to 12).map(i => s"tök${i}wörd").mkString("  ")
+    val other = (1 to 12).map(i => s"zz${i}q").mkString(" ")
+    val rows = Seq(("img_a", base), ("img_b", accented), ("img_c", other))
+      .toDF("image_id", "caption")
+    val off = Pipeline.curate(rows).collect().map(_.getString(0)).toSet
+    assert(off === Set("img_a", "img_b", "img_c"),
+      "raw signatures share no shingles — all three must survive")
+    val on = Pipeline.curate(rows, normalizeForDedup = true)
+      .collect().map(_.getString(0)).toSet
+    assert(on.size === 2 && on.contains("img_c") &&
+      (on - "img_c").subsetOf(Set("img_a", "img_b")),
+      s"normalized signatures must collapse the mirror pair to one keeper: $on")
+    // the surviving text is the RAW caption, not the normalized rewrite
+    val kept = Pipeline.curate(rows, normalizeForDedup = true)
+      .select("caption").as[String].collect().toSet
+    assert(kept.subsetOf(Set(base, accented, other)),
+      "output text must stay raw — normalization is signature-only")
+  }
+
   test("curated pipeline end to end: resumable, duplicates dropped, split byte-stable") {
     val table = java.nio.file.Files.createTempDirectory("pipe_cur_out").toString + "/cur"
     val images = spark.read.parquet(curatedImagesDir)
