@@ -396,6 +396,26 @@ object SparkEntry {
             col("maxx"), col("maxy"), lit(0.0).as("maxz")), lit(20))).as("tile_id"))
     }),
 
+    "q77_tile_weights" -> ((s, dir) => {
+      // area-weighted raster↔vector assignment (zonal weights): every tile
+      // touched by a footprint envelope carries the EXACT fraction of the
+      // envelope's area inside that tile — q46's boolean cover upgraded to
+      // the weight zonal stats need. Dyadic tile bounds + integer envelope
+      // corners keep every clip width exact; one final division → bit-exact
+      val r = t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(col("p_partkey").as("rid"),
+          (((col("p_partkey") * 13L) % 500L).cast("double") * lit(37.0)).as("minx"),
+          (((col("p_partkey") * 29L) % 500L).cast("double") * lit(41.0)).as("miny"))
+        .withColumn("maxx", col("minx") + (col("rid") % 7L + 1L).cast("double") * lit(23.0))
+        .withColumn("maxy", col("miny") + (col("rid") % 5L + 1L).cast("double") * lit(31.0))
+      def env = struct(col("minx"), col("miny"), lit(0.0).as("minz"),
+        col("maxx"), col("maxy"), lit(0.0).as("maxz"))
+      r.select(col("rid"), col("minx"), col("miny"), col("maxx"), col("maxy"),
+          explode(graft.functions.GeoFunctions.tile_cover(env, lit(20))).as("tile_id"))
+        .select(col("rid"), col("tile_id"),
+          graft.functions.GeoFunctions.tile_clip_frac(col("tile_id"), env, 20).as("frac"))
+    }),
+
     "q47_z_encode" -> ((s, dir) => {
       // Morton (Z-order) cell key — the engine's exact-nesting S2-analog and
       // the CellLayout clustering key — under the hard gate: power-of-two
@@ -1542,6 +1562,44 @@ object SparkEntry {
                                       FOR yi IN range(ty0, ty1 + 1)]
                                      FOR xi IN range(tx0, tx1 + 1)])) AS tile_id
          FROM t""",
+    "q77_tile_weights" ->
+      """WITH r AS (
+           SELECT p_partkey AS rid,
+                  CAST((p_partkey * 13) %% 500 AS DOUBLE) * 37.0 AS minx,
+                  CAST((p_partkey * 29) %% 500 AS DOUBLE) * 41.0 AS miny
+           FROM part WHERE p_partkey < 200),
+         r2 AS (
+           SELECT rid, minx, miny,
+                  minx + CAST(rid %% 7 + 1 AS DOUBLE) * 23.0 AS maxx,
+                  miny + CAST(rid %% 5 + 1 AS DOUBLE) * 31.0 AS maxy
+           FROM r),
+         t AS (
+           SELECT rid, minx, miny, maxx, maxy,
+                  CAST(floor(minx / 33554432.0 * 1048576) AS BIGINT) AS tx0,
+                  CAST(floor(maxx / 33554432.0 * 1048576) AS BIGINT) AS tx1,
+                  1048575 - CAST(floor(maxy / 33554432.0 * 1048576) AS BIGINT) AS ty0,
+                  1048575 - CAST(floor(miny / 33554432.0 * 1048576) AS BIGINT) AS ty1
+           FROM r2),
+         e AS (
+           SELECT rid, minx, miny, maxx, maxy,
+                  unnest(flatten([[xi FOR yi IN range(ty0, ty1 + 1)]
+                                  FOR xi IN range(tx0, tx1 + 1)])) AS tx,
+                  unnest(flatten([[yi FOR yi IN range(ty0, ty1 + 1)]
+                                  FOR xi IN range(tx0, tx1 + 1)])) AS ty
+           FROM t),
+         b AS (
+           SELECT rid, 5764607523034234880 + tx * 536870912 + ty AS tile_id,
+                  minx, miny, maxx, maxy,
+                  CAST(tx AS DOUBLE) * 32.0 AS txmin,
+                  CAST(1048575 - ty AS DOUBLE) * 32.0 AS tymin
+           FROM e)
+         SELECT rid, tile_id,
+                CASE WHEN (maxx - minx) * (maxy - miny) > 0.0::DOUBLE
+                     THEN GREATEST(0.0::DOUBLE, LEAST(maxx, txmin + 32.0) - GREATEST(minx, txmin))
+                        * GREATEST(0.0::DOUBLE, LEAST(maxy, tymin + 32.0) - GREATEST(miny, tymin))
+                        / ((maxx - minx) * (maxy - miny))
+                     ELSE 0.0::DOUBLE END AS frac
+         FROM b""",
     "q47_z_encode" ->
       s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
          idx AS (

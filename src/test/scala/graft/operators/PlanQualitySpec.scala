@@ -451,6 +451,49 @@ class PlanQualitySpec extends AnyFunSuite {
       s"norm_text must sit in a codegen span:\n$plan")
   }
 
+  test("tile weights (q77): fractions partition each envelope, scan-local plan, cover parity") {
+    val q = graft.SparkEntry.queries("q77_tile_weights")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"tile weighting must be scan-local:\n$plan")
+    // the weights of one envelope's tiles partition its area exactly
+    // (clip widths are exact; only the per-tile divisions round)
+    rows.groupBy(_.getAs[Number](0).longValue).foreach { case (rid, rs) =>
+      val s0 = rs.map(_.getDouble(2)).sum
+      assert(math.abs(s0 - 1.0) < 1e-12, s"rid $rid weights sum to $s0")
+    }
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // weighting keeps exactly the boolean cover's (rid, tile) set — it adds
+    // the weight column, it never adds or drops an assignment
+    val cover = graft.SparkEntry.queries("q46_tile_cover")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet
+    assert(rows.map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet === cover)
+  }
+
+  test("tile_clip_frac: boundary-touch tile weighs zero; degenerate envelope weighs zero") {
+    import org.apache.spark.sql.functions._
+    // maxx = 64 sits ON the z=20 tile boundary (32 m tiles): the touching
+    // third tile is covered (reference bbox semantics) but must weigh 0
+    def env = struct(lit(10.0).as("minx"), lit(8.0).as("miny"), lit(0.0).as("minz"),
+      lit(64.0).as("maxx"), lit(24.0).as("maxy"), lit(0.0).as("maxz"))
+    val m = spark.range(1)
+      .select(explode(graft.functions.GeoFunctions.tile_cover(env, lit(20))).as("tile_id"))
+      .select(col("tile_id"),
+        graft.functions.GeoFunctions.tile_clip_frac(col("tile_id"), env, 20).as("frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.size === 3, s"expected 3 covered x-tiles: $m")
+    assert(m.values.count(_ == 0.0) === 1, s"exactly the touch-only tile weighs 0: $m")
+    assert(math.abs(m.values.sum - 1.0) < 1e-12)
+    // zero-area envelope: every weight is 0.0, never NaN/Infinity
+    def deg = struct(lit(5.0).as("minx"), lit(8.0).as("miny"), lit(0.0).as("minz"),
+      lit(5.0).as("maxx"), lit(24.0).as("maxy"), lit(0.0).as("maxz"))
+    val dm = spark.range(1)
+      .select(explode(graft.functions.GeoFunctions.tile_cover(deg, lit(20))).as("tile_id"))
+      .select(graft.functions.GeoFunctions.tile_clip_frac(col("tile_id"), deg, 20).as("frac"))
+      .collect().map(_.getDouble(0))
+    assert(dm.nonEmpty && dm.forall(_ == 0.0))
+  }
+
   test("IVF assignment is a codegen projection (no Encoder round-trip, no join)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.where(col("vec_id") % 50 === 0)
