@@ -694,6 +694,38 @@ object SparkEntry {
         .select(col("poly_id"), col("area"),
           col("c.cx").as("cx"), col("c.cy").as("cy"))
     }),
+    "q78_ring_audit" -> ((s, dir) => {
+      // ring validity / orientation audit — the geometry-QA gate an ingest
+      // pipeline runs before indexing: vertex count, explicit-closure flag,
+      // SIGNED shoelace area (codegen st_signed_area; CCW > 0), orientation
+      // class, and a basic validity verdict. Ring variants derived per id:
+      // %4==0 forward (ccw), ==1 reversed (cw), ==2 collinear (degenerate),
+      // ==3 explicitly closed. Dyadic coords → bit-exact like q67
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_signed_area
+      val pk = col("p_partkey").cast("long")
+      val cx = (pk % 10).cast("double") * 4.0
+      val cy = expr("CAST(p_partkey AS BIGINT) div 10").cast("double") * 4.0
+      val w = lit(1.0) + (pk % 4).cast("double") * 0.5
+      val h = lit(1.0) + (expr("CAST(p_partkey AS BIGINT) div 4") % 4).cast("double") * 0.25
+      val xs0 = array(cx, cx + w, cx + w, cx + w * 0.5, cx + w * 0.5, cx)
+      val ys0 = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
+      val m = pk % 4
+      val xs = when(m === 1, reverse(xs0))
+        .when(m === 3, concat(xs0, array(cx))).otherwise(xs0)
+      val ys = when(m === 1, reverse(ys0))
+        .when(m === 2, array(cy, cy, cy, cy, cy, cy))
+        .when(m === 3, concat(ys0, array(cy))).otherwise(ys0)
+      val sa = st_signed_area(xs, ys)
+      val closed = element_at(xs, 1) === element_at(xs, -1) &&
+        element_at(ys, 1) === element_at(ys, -1)
+      val nEff = size(xs) - closed.cast("int")
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), size(xs).as("n_pts"), closed.as("closed"),
+          sa.as("signed_area"),
+          when(sa > 0.0, "ccw").when(sa < 0.0, "cw")
+            .otherwise("degenerate").as("orientation"),
+          (nEff >= 3 && sa =!= 0.0).as("valid"))
+    }),
     "q73_ring_perimeter" -> ((s, dir) => {
       // st_perimeter over the q67 dyadic L-shaped rings: edge squared
       // lengths are exact, sqrt is correctly-rounded IEEE on both engines,
@@ -1974,6 +2006,38 @@ object SparkEntry {
                FROM v)
          SELECT poly_id, abs(ss) * 0.5::DOUBLE AS area,
                 sx / (ss * 3.0::DOUBLE) AS cx, sy / (ss * 3.0::DOUBLE) AS cy
+         FROM s""",
+    "q78_ring_audit" ->
+      """WITH p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                  CAST(p_partkey %% 4 AS BIGINT) AS m,
+                  CAST(p_partkey %% 10 AS DOUBLE) * 4.0::DOUBLE AS cx,
+                  CAST((p_partkey // 10) AS DOUBLE) * 4.0::DOUBLE AS cy,
+                  1.0::DOUBLE + CAST(p_partkey %% 4 AS DOUBLE) * 0.5::DOUBLE AS w,
+                  1.0::DOUBLE + CAST((p_partkey // 4) %% 4 AS DOUBLE) * 0.25::DOUBLE AS h
+           FROM part WHERE p_partkey < 200),
+         v0 AS (SELECT poly_id, m, cx, cy,
+                 [cx, cx + w, cx + w, cx + w * 0.5::DOUBLE, cx + w * 0.5::DOUBLE, cx] AS xs0,
+                 [cy, cy, cy + h * 0.5::DOUBLE, cy + h * 0.5::DOUBLE, cy + h, cy + h] AS ys0
+                FROM p),
+         v AS (SELECT poly_id,
+                 CASE WHEN m = 1 THEN list_reverse(xs0)
+                      WHEN m = 3 THEN list_append(xs0, cx) ELSE xs0 END AS xs,
+                 CASE WHEN m = 1 THEN list_reverse(ys0)
+                      WHEN m = 2 THEN [cy, cy, cy, cy, cy, cy]
+                      WHEN m = 3 THEN list_append(ys0, cy) ELSE ys0 END AS ys
+               FROM v0),
+         s AS (SELECT poly_id, xs, ys,
+                 list_sum([xs[i] * ys[(i %% len(xs)) + 1] - xs[(i %% len(xs)) + 1] * ys[i]
+                           FOR i IN range(1, len(xs) + 1)]) * 0.5::DOUBLE AS sa,
+                 (xs[1] = xs[-1] AND ys[1] = ys[-1]) AS closed
+               FROM v)
+         SELECT poly_id, CAST(len(xs) AS INT) AS n_pts, closed,
+                sa AS signed_area,
+                CASE WHEN sa > 0.0::DOUBLE THEN 'ccw' WHEN sa < 0.0::DOUBLE THEN 'cw'
+                     ELSE 'degenerate' END AS orientation,
+                ((CAST(len(xs) AS INT) - CASE WHEN closed THEN 1 ELSE 0 END) >= 3
+                 AND sa <> 0.0::DOUBLE) AS valid
          FROM s""",
     "q73_ring_perimeter" ->
       """WITH p AS (

@@ -374,6 +374,12 @@ object RingKernels {
   def area(xs: ArrayData, ys: ArrayData): Double =
     math.abs(shoelace(xs, ys)) * 0.5
 
+  /** SIGNED polygon area = shoelace / 2: positive ⇔ counter-clockwise —
+    * the orientation bit ring-validity audits key on (CityGML exterior
+    * rings are CCW by convention). Degenerate rings give exactly 0. */
+  def signedArea(xs: ArrayData, ys: ArrayData): Double =
+    shoelace(xs, ys) * 0.5
+
   /** Polygon centroid (Cx, Cy) = (Σ(xᵢ+xⱼ)·crossᵢ, Σ(yᵢ+yⱼ)·crossᵢ) / (3·S)
     * with S the signed shoelace sum — plain IEEE arithmetic (a zero-area
     * ring yields ±Inf/NaN, same as the SQL replay). */
@@ -499,6 +505,21 @@ case class StAreaExpr(left: Expression, right: Expression)
   override def prettyName: String = "st_area"
 }
 
+/** st_signed_area(xs, ys) → signed shoelace area (CCW > 0); fully codegen. */
+case class StSignedAreaExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernels.signedArea(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.RingKernels.signedArea($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_signed_area"
+}
+
 /** st_centroid(xs, ys) → struct<cx, cy>; fully codegen. */
 case class StCentroidExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -545,6 +566,8 @@ object GeoFunctionsImpl {
     column(HexRingExpr(expression(x), expression(y), expression(res), expression(r)))
   def st_area(xs: Column, ys: Column): Column =
     column(StAreaExpr(expression(xs), expression(ys)))
+  def st_signed_area(xs: Column, ys: Column): Column =
+    column(StSignedAreaExpr(expression(xs), expression(ys)))
   def st_centroid(xs: Column, ys: Column): Column =
     column(StCentroidExpr(expression(xs), expression(ys)))
   def st_perimeter(xs: Column, ys: Column): Column =
@@ -576,6 +599,8 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_covers", es => PipCoversExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_cover", es => HexCoverExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_area", es => StAreaExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_signed_area",
+      es => StSignedAreaExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_centroid", es => StCentroidExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_perimeter", es => StPerimeterExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",

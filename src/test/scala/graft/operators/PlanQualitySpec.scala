@@ -470,6 +470,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet === cover)
   }
 
+  test("ring audit (q78) is scan-local and classifies orientation per variant") {
+    val q = graft.SparkEntry.queries("q78_ring_audit")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"geometry QA must be scan-local:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("st_signed_area") && l.contains("*(")),
+      s"st_signed_area must sit in a codegen span:\n$plan")
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(4), r.getBoolean(5), r.getBoolean(2)))).toMap
+    byId.foreach { case (id, (orient, valid, closed)) =>
+      (id % 4) match {
+        case 0 => assert(orient == "ccw" && valid && !closed, s"id $id")
+        case 1 => assert(orient == "cw" && valid && !closed, s"id $id")
+        case 2 => assert(orient == "degenerate" && !valid, s"id $id")
+        case _ => assert(orient == "ccw" && valid && closed, s"id $id")
+      }
+    }
+  }
+
   test("tile_clip_frac: boundary-touch tile weighs zero; degenerate envelope weighs zero") {
     import org.apache.spark.sql.functions._
     // maxx = 64 sits ON the z=20 tile boundary (32 m tiles): the touching
