@@ -1040,6 +1040,21 @@ object SparkEntry {
           maxHamming = 4, algo = "phash")
         .orderBy("doc_a", "doc_b")
     }),
+    "g15_bpe_tokenize" -> ((s, dir) => {
+      // learned-subword token accounting: fit a BPE merge table on the
+      // corpus (one bounded word-count shuffle + driver merge loop), then
+      // encode every doc scan-locally via the plan-reference codegen
+      // expression. No DuckDB row (the merge loop is not ANSI-expressible);
+      // everything is exact-count + total-order deterministic, so the g-row
+      // rides the 4-vs-8-core determinism probe; BpeSpec holds the
+      // known-corpus and round-trip oracles
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.BpeTokenizer.train(docs, numMerges = 200, maxWords = 5000)
+      docs.select(col("doc_id"),
+          graft.functions.BpeTokenizer.encodeTokens(model, col("text")).as("tokens"))
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          col("tokens"))
+    }),
     "g14_corpus_report" -> ((s, dir) =>
       // one-pass per-source curation dashboard; every aggregate is
       // partition-order invariant (no double sums, no order-dependent

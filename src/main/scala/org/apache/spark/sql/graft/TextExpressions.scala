@@ -471,6 +471,28 @@ case class NormTextExpr(child: Expression) extends UnaryExpression with ExpectsI
   override def prettyName: String = "norm_text"
 }
 
+/**
+ * bpe_encode(text) — scan-local BPE subword stream. The trained merge table
+ * ([[graft.functions.BpeTokenizer.BpeModel]]) rides the plan as a reference
+ * object (the `pip_matches` pattern): the generated code calls
+ * `model.encodeUtf8(text)` directly — no join, no broadcast variable
+ * plumbing, no shuffle; at 10^12 docs the encode prices as part of the scan.
+ */
+case class BpeEncodeExpr(child: Expression, model: graft.functions.BpeTokenizer.BpeModel)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(t: Any): Any =
+    model.encodeUtf8(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[graft.functions.BpeTokenizer.BpeModel].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.encodeUtf8($t)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bpe_encode"
+}
+
 object TextFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
@@ -501,4 +523,6 @@ object TextFunctionsImpl {
   def c4_clean(text: Column, minWords: Column): Column =
     column(C4CleanExpr(expression(text), expression(minWords)))
   def norm_text(text: Column): Column = column(NormTextExpr(expression(text)))
+  def bpe_encode(text: Column, model: graft.functions.BpeTokenizer.BpeModel): Column =
+    column(BpeEncodeExpr(expression(text), model))
 }
