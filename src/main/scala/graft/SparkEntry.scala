@@ -777,6 +777,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.normText(injected).as("norm"))
     }),
+    "q79_chunk_docs" -> ((s, dir) =>
+      // sliding-window chunking (8-token windows, overlap 2): the
+      // context-window prep step before packing/embedding. Slot-exact
+      // cross-engine contract: both engines split on single spaces and
+      // rejoin, so windows compare byte-equal
+      graft.functions.TextFunctions.chunkDocs(
+        t(s, dir, "documents"), chunkTokens = 8, overlap = 2)),
     "q66_span_dedup" -> ((s, dir) => {
       // duplicate-SPAN removal (Lee et al. 2022 fixed-window form) on a
       // planted 14-token footer appended to every 5th doc: each footer
@@ -2111,6 +2118,16 @@ object SparkEntry {
                        ELSE COALESCE(text, '') END)),
                   '[\x00-\x20\x7f]+', ' ', 'g')) AS norm
          FROM documents""",
+    "q79_chunk_docs" ->
+      """WITH tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+                     FROM documents),
+         st AS (SELECT doc_id, w,
+                  unnest([i FOR i IN range(0, len(w), 6)]) AS strt
+                FROM tk)
+         SELECT doc_id, CAST(strt // 6 AS INT) AS chunk_idx,
+                array_to_string(w[strt+1 : strt+8], ' ') AS chunk_text,
+                CAST(len(w[strt+1 : strt+8]) AS INT) AS n_tokens
+         FROM st""",
     "q66_span_dedup" ->
       """WITH inj AS (
            SELECT doc_id,

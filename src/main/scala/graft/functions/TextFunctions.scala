@@ -558,6 +558,33 @@ object TextFunctions {
         countDistinct(col("lang_pred")).as("n_langs"))
   }
 
+  /**
+   * Sliding-window document chunking — the context-window prep step that
+   * turns long documents into fixed-size token windows (stride =
+   * `chunkTokens - overlap`) before packing (q55) or embedding: one row per
+   * (doc, window) with the window's text and token count. Token = a
+   * space-separated slot (both engines split identically, so an empty doc
+   * yields ONE empty chunk — documented, not filtered, to keep the q79
+   * oracle slot-exact). Scan-local: split → `sequence` of starts →
+   * `posexplode` → `slice`/`array_join`, all codegen built-ins; the 1→N
+   * fan-out happens in the scan stage, nothing shuffles. A final window
+   * shorter than `chunkTokens` is emitted as-is (standard sliding-window
+   * semantics); `chunk_idx` numbers windows from 0 in document order.
+   */
+  def chunkDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                chunkTokens: Int = 128, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got overlap=$overlap chunkTokens=$chunkTokens")
+    val step = chunkTokens - overlap
+    val win = slice(col("w"), col("col") + 1, lit(chunkTokens))
+    docs.select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("w"))
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(0), size(col("w")) - 1, lit(step))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        array_join(win, " ").as("chunk_text"),
+        size(win).as("n_tokens"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

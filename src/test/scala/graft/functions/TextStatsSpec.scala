@@ -199,6 +199,33 @@ class TextStatsSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("chunkDocs: sliding windows with overlap, short tail, empty/null docs, scan-local") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),   // 10 tokens
+      (2L, "solo"),
+      (3L, ""),
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val q = TextFunctions.chunkDocs(docs, chunkTokens = 4, overlap = 1)
+    val got = q.as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // stride 3: starts 0,3,6,9 → three full windows and a 1-token tail
+    assert(got(1L) === Seq(("t1 t2 t3 t4", 4), ("t4 t5 t6 t7", 4),
+      ("t7 t8 t9 t10", 4), ("t10", 1)))
+    assert(got(2L) === Seq(("solo", 1)))
+    assert(got(3L) === Seq(("", 1)), "empty doc yields one empty slot-chunk")
+    assert(got(4L) === Seq(("", 1)), "null text behaves as empty")
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"chunking must be scan-local:\n$plan")
+    // adjacent windows share exactly the `overlap` boundary token
+    val w1 = got(1L).map(_._1.split(" ").toSeq)
+    w1.sliding(2).foreach {
+      case Seq(a, b) => assert(a.last === b.head, s"overlap violated: $a | $b")
+      case _ =>
+    }
+  }
+
   test("norm_text kernel: accent strip, control collapse, null, idempotence") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
