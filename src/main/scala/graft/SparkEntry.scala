@@ -777,6 +777,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.functions.TextFunctions.normText(injected).as("norm"))
     }),
+    "q80_track_length" -> ((s, dir) => {
+      // per-user trajectory length (GPS-track accounting over the event
+      // stream): ONE shuffle on the entity key, per-user points sorted by
+      // the TOTAL order (ts, event_id) — collect_list partial-merge order
+      // cannot leak — then the st_path_length sorted-fold kernel (q73's
+      // bit-reproducibility recipe: single-IEEE-op edges, ascending-order
+      // sum) gives cross-engine hash parity on irrational lengths
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_path_length
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("x"), col("y")).as("p"))
+      pts.groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("user_id"), size(col("ps")).as("n_pings"),
+          st_path_length(col("ps.x"), col("ps.y")).as("track_len"))
+    }),
     "q79_chunk_docs" -> ((s, dir) =>
       // sliding-window chunking (8-token windows, overlap 2): the
       // context-window prep step before packing/embedding. Slot-exact
@@ -2118,6 +2133,21 @@ object SparkEntry {
                        ELSE COALESCE(text, '') END)),
                   '[\x00-\x20\x7f]+', ' ', 'g')) AS norm
          FROM documents""",
+    "q80_track_length" ->
+      s"""WITH pts AS (SELECT event_id, user_id, ts,
+                  ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         g AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+                      list(y ORDER BY ts, event_id) AS ys, count(*) AS n
+               FROM pts GROUP BY 1),
+         e AS (SELECT user_id, n,
+                 [sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i]) +
+                       (ys[i+1] - ys[i]) * (ys[i+1] - ys[i]))
+                  FOR i IN range(1, len(xs))] AS edges
+               FROM g)
+         SELECT user_id, CAST(n AS INT) AS n_pings,
+                COALESCE(list_sum(list_sort(edges)), 0.0::DOUBLE) AS track_len
+         FROM e""",
     "q79_chunk_docs" ->
       """WITH tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
                      FROM documents),

@@ -429,6 +429,29 @@ object RingKernels {
     best
   }
 
+  /** OPEN polyline length = Σ consecutive-point distances (no closing
+    * edge), summed in ASCENDING length order — the trajectory twin of
+    * [[perimeter]], same bit-reproducibility recipe: each edge is single
+    * correctly-rounded IEEE ops on identical operands and the sorted fold
+    * makes the sum order canonical on both engines. n < 2 → 0. */
+  def pathLength(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    if (n < 2) return 0.0
+    val len = new Array[Double](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val dx = xs.getDouble(i + 1) - xs.getDouble(i)
+      val dy = ys.getDouble(i + 1) - ys.getDouble(i)
+      len(i) = math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    java.util.Arrays.sort(len)
+    var s = 0.0
+    i = 0
+    while (i < n - 1) { s += len(i); i += 1 }
+    s
+  }
+
   /** Ring perimeter = Σ edge lengths, summed in ASCENDING length order —
     * sqrt() is correctly rounded IEEE on both engines and a sorted
     * sequential fold is bit-reproducible (probed: DuckDB list_sum over
@@ -488,6 +511,22 @@ case class StPerimeterExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_perimeter"
+}
+
+/** st_path_length(xs, ys) → OPEN polyline length (sorted-fold sum, no
+  * closing edge) — trajectory accounting; fully codegen. */
+case class StPathLengthExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernels.pathLength(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.RingKernels.pathLength($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_path_length"
 }
 
 /** st_area(xs, ys) → unsigned shoelace area; fully codegen. */
@@ -572,6 +611,8 @@ object GeoFunctionsImpl {
     column(StCentroidExpr(expression(xs), expression(ys)))
   def st_perimeter(xs: Column, ys: Column): Column =
     column(StPerimeterExpr(expression(xs), expression(ys)))
+  def st_path_length(xs: Column, ys: Column): Column =
+    column(StPathLengthExpr(expression(xs), expression(ys)))
   def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
     column(StDist2RingExpr(expression(xs), expression(ys), expression(px), expression(py)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
@@ -603,6 +644,8 @@ object GeoFunctionsImpl {
       es => StSignedAreaExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_centroid", es => StCentroidExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_perimeter", es => StPerimeterExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_path_length",
+      es => StPathLengthExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",
       es => StDist2RingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")

@@ -401,6 +401,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to (ts, user_id):\n$read")
   }
 
+  test("track length (q80): one entity-key shuffle, pruned scan, codegen kernel, brute parity") {
+    val q = graft.SparkEntry.queries("q80_track_length")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"trajectory assembly must shuffle exactly once, on the entity key:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(user_id"),
+      s"the one shuffle must key on user_id:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("user_id") && !read.contains("props"),
+      s"scan must prune to (event_id, ts, user_id):\n$read")
+    assert(plan.contains("st_path_length"), s"kernel must score the track:\n$plan")
+    // brute-force parity: driver replay of one user's sorted track
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val uid = ev.head._2
+    val pts = ev.filter(_._2 == uid)
+      .sortBy(e => (e._3, e._1)).map { case (id, _, _) =>
+      (457840.0 + ((id * 7919L) % 1600L).toDouble * 0.01,
+        5439081.0 + ((id * 104729L) % 1400L).toDouble * 0.01)
+    }
+    val lens = pts.sliding(2).collect { case Array((x1, y1), (x2, y2)) =>
+      math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+    }.toArray.sorted
+    val want = lens.foldLeft(0.0)(_ + _)
+    val got = rows.find(_.getLong(0) == uid).get.getDouble(2)
+    assert(got === want, s"user $uid: kernel=$got brute=$want")
+  }
+
   test("LM coverage (q74): top-k ref set broadcasts, doc grams never shuffle for the join") {
     // the reference top set is k rows BY CONSTRUCTION → its join against
     // the exploded doc grams must be a BroadcastHashJoin (an SMJ would
