@@ -694,6 +694,25 @@ object SparkEntry {
         .select(col("poly_id"), col("area"),
           col("c.cx").as("cx"), col("c.cy").as("cy"))
     }),
+    "q81_simplify" -> ((s, dir) => {
+      // radial-distance vertex thinning (the standard pre-DP simplification
+      // pass for LoD export): keep vertex 0, then every vertex >= eps from
+      // the last KEPT one; the codegen kernel's sequential walk is made of
+      // exact comparisons (dyadic dist² vs one shared constant), so the
+      // oracle replays it step-for-step as a recursive CTE. eps=0.6 bites
+      // on the narrow rings (half-width 0.5 edges drop) and not the wide
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_simplify_idx
+      val pk = col("p_partkey").cast("long")
+      val cx = (pk % 10).cast("double") * 4.0
+      val cy = expr("CAST(p_partkey AS BIGINT) div 10").cast("double") * 4.0
+      val w = lit(1.0) + (pk % 4).cast("double") * 0.5
+      val h = lit(1.0) + (expr("CAST(p_partkey AS BIGINT) div 4") % 4).cast("double") * 0.25
+      val xs = array(cx, cx + w, cx + w, cx + w * 0.5, cx + w * 0.5, cx)
+      val ys = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"),
+          st_simplify_idx(xs, ys, lit(0.36)).as("kept"))
+    }),
     "q78_ring_audit" -> ((s, dir) => {
       // ring validity / orientation audit — the geometry-QA gate an ingest
       // pipeline runs before indexing: vertex count, explicit-closure flag,
@@ -2044,6 +2063,32 @@ object SparkEntry {
          SELECT poly_id, abs(ss) * 0.5::DOUBLE AS area,
                 sx / (ss * 3.0::DOUBLE) AS cx, sy / (ss * 3.0::DOUBLE) AS cy
          FROM s""",
+    "q81_simplify" ->
+      """WITH RECURSIVE p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                  CAST(p_partkey %% 10 AS DOUBLE) * 4.0::DOUBLE AS cx,
+                  CAST((p_partkey // 10) AS DOUBLE) * 4.0::DOUBLE AS cy,
+                  1.0::DOUBLE + CAST(p_partkey %% 4 AS DOUBLE) * 0.5::DOUBLE AS w,
+                  1.0::DOUBLE + CAST((p_partkey // 4) %% 4 AS DOUBLE) * 0.25::DOUBLE AS h
+           FROM part WHERE p_partkey < 200),
+         v AS (SELECT poly_id,
+                 [cx, cx + w, cx + w, cx + w * 0.5::DOUBLE, cx + w * 0.5::DOUBLE, cx] AS xs,
+                 [cy, cy, cy + h * 0.5::DOUBLE, cy + h * 0.5::DOUBLE, cy + h, cy + h] AS ys
+               FROM p),
+         step AS (
+           SELECT poly_id, xs, ys, 1 AS i, xs[1] AS lx, ys[1] AS ly,
+                  [CAST(0 AS INT)] AS kept
+           FROM v
+           UNION ALL
+           SELECT poly_id, xs, ys, i + 1,
+                  CASE WHEN keepit THEN xs[i+1] ELSE lx END,
+                  CASE WHEN keepit THEN ys[i+1] ELSE ly END,
+                  CASE WHEN keepit THEN list_append(kept, CAST(i AS INT)) ELSE kept END
+           FROM (SELECT *,
+                   ((xs[i+1] - lx) * (xs[i+1] - lx) + (ys[i+1] - ly) * (ys[i+1] - ly))
+                     >= 0.36::DOUBLE AS keepit
+                 FROM step WHERE i < len(xs)) s)
+         SELECT poly_id, kept FROM step WHERE i = len(xs)""",
     "q78_ring_audit" ->
       """WITH p AS (
            SELECT CAST(p_partkey AS BIGINT) AS poly_id,

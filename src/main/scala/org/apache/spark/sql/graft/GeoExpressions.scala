@@ -429,6 +429,33 @@ object RingKernels {
     best
   }
 
+  /** Radial-distance vertex thinning (the standard pre-Douglas-Peucker
+    * simplification pass): keep vertex 0, then keep each vertex whose
+    * SQUARED distance to the last KEPT vertex is >= eps2; return the kept
+    * 0-based indices. Sequential by definition, but every decision is an
+    * exact comparison (single-op dist² on identical operands vs the same
+    * constant), so the walk is deterministic and replayable step-for-step
+    * by a recursive CTE (q81). Empty input → empty; n=1 → [0]. */
+  def simplifyIdx(xs: ArrayData, ys: ArrayData, eps2: Double): ArrayData = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val kept = scala.collection.mutable.ArrayBuffer[Any](0)
+    var lx = xs.getDouble(0)
+    var ly = ys.getDouble(0)
+    var i = 1
+    while (i < n) {
+      val dx = xs.getDouble(i) - lx
+      val dy = ys.getDouble(i) - ly
+      if (dx * dx + dy * dy >= eps2) {
+        kept += i
+        lx = xs.getDouble(i)
+        ly = ys.getDouble(i)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
+  }
+
   /** OPEN polyline length = Σ consecutive-point distances (no closing
     * edge), summed in ASCENDING length order — the trajectory twin of
     * [[perimeter]], same bit-reproducibility recipe: each edge is single
@@ -511,6 +538,25 @@ case class StPerimeterExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "st_perimeter"
+}
+
+/** st_simplify_idx(xs, ys, eps2) → kept 0-based vertex indices under
+  * radial-distance thinning; fully codegen. */
+case class StSimplifyIdxExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+  override def nullSafeEval(xs: Any, ys: Any, e2: Any): Any =
+    RingKernels.simplifyIdx(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
+      e2.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"org.apache.spark.sql.graft.RingKernels.simplifyIdx($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_simplify_idx"
 }
 
 /** st_path_length(xs, ys) → OPEN polyline length (sorted-fold sum, no
@@ -613,6 +659,8 @@ object GeoFunctionsImpl {
     column(StPerimeterExpr(expression(xs), expression(ys)))
   def st_path_length(xs: Column, ys: Column): Column =
     column(StPathLengthExpr(expression(xs), expression(ys)))
+  def st_simplify_idx(xs: Column, ys: Column, eps2: Column): Column =
+    column(StSimplifyIdxExpr(expression(xs), expression(ys), expression(eps2)))
   def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
     column(StDist2RingExpr(expression(xs), expression(ys), expression(px), expression(py)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
@@ -646,6 +694,8 @@ object GeoFunctionsImpl {
     reg.createOrReplaceTempFunction("st_perimeter", es => StPerimeterExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_path_length",
       es => StPathLengthExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_simplify_idx",
+      es => StSimplifyIdxExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",
       es => StDist2RingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")

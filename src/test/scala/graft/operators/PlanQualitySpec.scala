@@ -519,6 +519,32 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("simplify (q81): scan-local codegen walk; kernel semantics on edge cases") {
+    val q = graft.SparkEntry.queries("q81_simplify")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"thinning must be scan-local:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("st_simplify_idx") && l.contains("*(")),
+      s"st_simplify_idx must sit in a codegen span:\n$plan")
+    // thinning must actually bite on narrow rings and keep vertex 0 always
+    val sizes = rows.map(_.getSeq[Int](1).length).toSet
+    assert(sizes.contains(6) && sizes.exists(_ < 6), s"eps must bite selectively: $sizes")
+    assert(rows.forall(_.getSeq[Int](1).head == 0), "vertex 0 is always kept")
+    // direct kernel edge cases via SQL registration
+    import org.apache.spark.sql.functions._
+    graft.functions.GeoFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT st_simplify_idx(array(0.0d), array(0.0d), 1.0d) AS one,
+                st_simplify_idx(CAST(array() AS ARRAY<DOUBLE>),
+                                CAST(array() AS ARRAY<DOUBLE>), 1.0d) AS empty,
+                st_simplify_idx(array(0.0d, 0.25d, 0.5d, 2.0d),
+                                array(0.0d, 0.0d, 0.0d, 0.0d), 1.0d) AS walk""").head()
+    assert(edge.getSeq[Int](0) === Seq(0))
+    assert(edge.getSeq[Int](1) === Seq.empty)
+    // 0.25 and 0.5 are within eps of vertex 0; 2.0 is the next keeper
+    assert(edge.getSeq[Int](2) === Seq(0, 3))
+  }
+
   test("tile_clip_frac: boundary-touch tile weighs zero; degenerate envelope weighs zero") {
     import org.apache.spark.sql.functions._
     // maxx = 64 sits ON the z=20 tile boundary (32 m tiles): the touching
