@@ -238,6 +238,11 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q82_dup_matrix" -> ((s, dir) =>
+      // cross-source duplication matrix (corpus governance): q19's near-dup
+      // pairs re-labelled with each side's source, counted per unordered
+      // source pair — ids-only joins, text never re-shuffles
+      graft.operators.Dedup.crossSourceDupMatrix(t(s, dir, "documents"))),
     "q20_simhash" -> ((s, dir) => {
       // per-word hash = top 64 bits of md5(word) → the bit-vote is expressible
       // in ANSI SQL (hex-digit extraction); exact semantics also asserted vs
@@ -1537,6 +1542,16 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q82_dup_matrix" ->
+      s"""WITH q19 AS ($q19Sql),
+         s AS (SELECT doc_id, source FROM documents),
+         j AS (SELECT LEAST(sa.source, sb.source) AS src_a,
+                      GREATEST(sa.source, sb.source) AS src_b
+               FROM q19 p
+               JOIN s sa ON p.doc_a = sa.doc_id
+               JOIN s sb ON p.doc_b = sb.doc_id)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM j GROUP BY 1, 2""",
     "q36_dedup_clusters" ->
       s"""WITH RECURSIVE q19 AS ($q19Sql),
          pairs AS (SELECT doc_a AS a, doc_b AS b FROM q19),

@@ -704,6 +704,32 @@ object Dedup {
   }
 
   /**
+   * Cross-source duplication matrix — the corpus-governance dashboard
+   * question "how much of source X duplicates source Y": near-dup pairs
+   * (the q19 banded-LSH shape, no all-pairs join) re-labelled with each
+   * side's source and counted per UNORDERED source pair (canonicalized
+   * least/greatest, so the matrix is upper-triangular; the diagonal is
+   * within-source duplication). Everything after candidate generation
+   * shuffles only (id, source) tuples — text never re-shuffles — and the
+   * final aggregate is map-side combined. At 10^12 docs the matrix itself
+   * is |sources|² rows, a driver-readable governance report.
+   */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", srcCol: String = "source",
+                           perms: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = lshPairs(docs.select(col(idCol), col(textCol)), idCol, textCol,
+      perms = perms, minJaccard = minJaccard)
+    val src = docs.select(col(idCol), col(srcCol))
+    val labelled = pairs
+      .join(src.select(col(idCol).as("doc_a"), col(srcCol).as("sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(srcCol).as("sb")), "doc_b")
+    labelled
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Banded sign-bit LSH: `bands` independent bucket keys, each from `planes`
    * seeded hyperplanes (a pair within cosine θ collides in a band with prob
    * (1 − acos(θ)/π)^planes; missing ALL bands is exponentially unlikely).

@@ -19,6 +19,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("crossSourceDupMatrix: unordered source pairs, diagonal = within-source, totals match") {
+    val d = Seq(
+      (1L, "alpha bravo charlie delta echo", "beta"),
+      (2L, "alpha bravo charlie delta echo", "alpha"),   // cross-source dup of 1
+      (3L, "alpha bravo charlie delta echo", "beta"),    // within-beta dup of 1, cross of 2
+      (4L, "zulu yankee xray whiskey victor", "gamma")   // no dup
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(d)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("alpha", "beta", 2L), ("beta", "beta", 1L)))
+    // totals: matrix mass == raw pair count, regardless of labelling
+    val nPairs = Dedup.lshPairs(d.select($"doc_id", $"text")).count()
+    assert(got.toSeq.map(_._3).sum === nPairs)
+  }
+
   test("shingles: sliding 3-grams, short docs empty") {
     val d = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
     val got = d.select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
