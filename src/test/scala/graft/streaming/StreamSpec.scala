@@ -178,6 +178,42 @@ class StreamSpec extends AnyFunSuite {
     assert(byId(2L).getString(1).contains("<EMAIL>"), "redaction must fire")
   }
 
+  test("norm_text + chunkDocs + bpe_encode are streaming-safe (stateless, micro-batch == batch)") {
+    // the newest scan-local surface — normalization kernel, sliding-window
+    // chunking (a 1→N generate, still stateless), and the plan-reference
+    // BPE encode — replayed through a stream must match the batch run
+    // byte-for-byte
+    val rows = (0L until 200L).map { i =>
+      (i, s"Töken$i résumé word$i alpha beta gamma delta epsilon zeta eta theta")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("norm_stream").toString
+    rows.toDF("doc_id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+    val model = graft.functions.BpeTokenizer.train(
+      spark.read.parquet(dir), numMerges = 40, maxWords = 500)
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.functions.TextFunctions.chunkDocs(
+        df.select(col("doc_id"),
+          graft.functions.TextFunctions.normText(col("text")).as("text")),
+        chunkTokens = 4, overlap = 1)
+        .withColumn("toks",
+          graft.functions.BpeTokenizer.encodeTokens(model, col("chunk_text")))
+    val schema = spark.read.parquet(dir).schema
+    val q = stage(spark.readStream.schema(schema).parquet(dir)).writeStream
+      .format("memory").queryName("norm_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("norm_stream").collect().map(_.toSeq).toSet
+    val want = stage(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // fixtures exercise the kernels: accents stripped, >1 chunk, merges used
+    val sample = spark.table("norm_stream").collect()
+    assert(sample.forall(!_.getString(2).contains("ö")), "normalization must fire")
+    assert(sample.map(_.getLong(0)).groupBy(identity).head._2.length >= 1 &&
+      sample.length > 200, "chunking must fan out")
+    assert(sample.exists(_.getSeq[String](4).exists(_.length > 1)), "BPE merges must fire")
+  }
+
   test("sketch aggregates are streaming-safe: MG + KLL guarantees hold in complete mode") {
     // the TypedImperativeAggregates maintain their buffers incrementally in
     // the streaming state store; the result after the replay must be a LEGAL
