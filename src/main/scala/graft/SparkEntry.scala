@@ -238,6 +238,25 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q83_image_gates" -> ((s, dir) => {
+      // metadata quality gates for an image+caption table (LAION/DataComp
+      // recipe, pre-decode): resolution, aspect, bytes-per-pixel, format
+      // allowlist, caption presence — over arithmetic-derived metadata so
+      // every branch provably fires; single-division exactness → bit-exact
+      val base = t(s, dir, "part").where(col("p_partkey") < 500)
+        .withColumn("k", col("p_partkey").cast("long"))
+        .withColumn("w", lit(32L) + (col("k") * 7L) % 1600L)
+        .withColumn("h", lit(32L) + (col("k") * 13L) % 900L)
+        .withColumn("fmt", when(col("k") % 4 === 0, "png")
+          .when(col("k") % 4 === 1, "jpeg")
+          .when(col("k") % 4 === 2, "bmp").otherwise("unknown"))
+        .withColumn("n_bytes", expr("1 + ((w * h * 3) div (1 + k % 80))"))
+        .withColumn("caption",
+          when(col("k") % 11 === 0, lit("   ")).otherwise(col("p_name")))
+      base.select(col("k").as("image_key") +:
+        graft.functions.ImageFunctions.imageGateColumns(col("w"), col("h"),
+          col("fmt"), col("n_bytes"), col("caption")): _*)
+    }),
     "q82_dup_matrix" -> ((s, dir) =>
       // cross-source duplication matrix (corpus governance): q19's near-dup
       // pairs re-labelled with each side's source, counted per unordered
@@ -1542,6 +1561,33 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q83_image_gates" ->
+      """WITH b AS (
+           SELECT CAST(p_partkey AS BIGINT) AS k,
+                  32 + (CAST(p_partkey AS BIGINT) * 7) %% 1600 AS w,
+                  32 + (CAST(p_partkey AS BIGINT) * 13) %% 900 AS h,
+                  CASE p_partkey %% 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'bmp' ELSE 'unknown' END AS fmt,
+                  CASE WHEN p_partkey %% 11 = 0 THEN '   ' ELSE p_name END AS caption
+           FROM part WHERE p_partkey < 500),
+         b2 AS (SELECT *, 1 + ((w * h * 3) // (1 + k %% 80)) AS n_bytes FROM b),
+         g AS (SELECT k, w, h, fmt, caption, n_bytes,
+                 GREATEST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) /
+                   LEAST(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) AS aspect,
+                 CAST(n_bytes AS DOUBLE) / (CAST(w AS DOUBLE) * CAST(h AS DOUBLE)) AS bpp,
+                 CAST(len(string_split(caption, ' ')) AS INT) AS n_caption_tokens
+               FROM b2)
+         SELECT k AS image_key, LEAST(w, h) AS min_side, aspect, bpp,
+                n_caption_tokens,
+                (LEAST(w, h) >= 64) AS res_ok,
+                (aspect <= 3.0::DOUBLE) AS aspect_ok,
+                (bpp >= 0.05::DOUBLE) AS bpp_ok,
+                (fmt IN ('png', 'jpeg')) AS fmt_ok,
+                (length(trim(caption)) > 0 AND n_caption_tokens <= 128) AS caption_ok,
+                (LEAST(w, h) >= 64 AND aspect <= 3.0::DOUBLE AND bpp >= 0.05::DOUBLE
+                 AND fmt IN ('png', 'jpeg')
+                 AND (length(trim(caption)) > 0 AND n_caption_tokens <= 128)) AS keep
+         FROM g""",
     "q82_dup_matrix" ->
       s"""WITH q19 AS ($q19Sql),
          s AS (SELECT doc_id, source FROM documents),

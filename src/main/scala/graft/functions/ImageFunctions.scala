@@ -328,4 +328,39 @@ object ImageFunctions {
       }
     }
   }
+
+  /**
+   * Metadata quality gates for an image+caption table (the LAION/DataComp
+   * pre-decode filter recipe): minimum resolution, aspect-ratio bound,
+   * bytes-per-pixel sanity (an over-compressed payload signals a thumbnail
+   * or a broken file — no decode needed), format allowlist, and caption
+   * presence/length. All scan-local codegen built-ins over columns the
+   * input table already carries (`w`, `h`, `fmt`, byte length, caption) —
+   * at 10^12 images this gate prices as part of the scan and drops rows
+   * BEFORE any decode stage spends cycles on them. Divisions (aspect, bpp)
+   * are single correctly-rounded IEEE ops on exact integer-valued operands,
+   * so the q83 oracle hash-compares bit-exactly. Every `max*`/`min*` bound
+   * is INCLUSIVE (the curate convention).
+   */
+  def imageGateColumns(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                       fmt: org.apache.spark.sql.Column, nBytes: org.apache.spark.sql.Column,
+                       caption: org.apache.spark.sql.Column,
+                       minSide: Int = 64, maxAspect: Double = 3.0,
+                       minBpp: Double = 0.05, maxCaptionTokens: Int = 128): Seq[org.apache.spark.sql.Column] = {
+    val ws = w.cast("double")
+    val hs = h.cast("double")
+    val aspect = greatest(ws, hs) / least(ws, hs)
+    val bpp = nBytes.cast("double") / (ws * hs)
+    val cap = coalesce(caption, lit(""))
+    val nTok = size(split(cap, " "))
+    val resOk = least(w, h) >= minSide
+    val aspOk = aspect <= maxAspect
+    val bppOk = bpp >= minBpp
+    val fmtOk = fmt.isin("png", "jpeg")
+    val capOk = length(trim(cap)) > 0 && nTok <= maxCaptionTokens
+    Seq(least(w, h).as("min_side"), aspect.as("aspect"), bpp.as("bpp"),
+      nTok.as("n_caption_tokens"), resOk.as("res_ok"), aspOk.as("aspect_ok"),
+      bppOk.as("bpp_ok"), fmtOk.as("fmt_ok"), capOk.as("caption_ok"),
+      (resOk && aspOk && bppOk && fmtOk && capOk).as("keep"))
+  }
 }

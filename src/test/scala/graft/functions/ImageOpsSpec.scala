@@ -123,4 +123,33 @@ class ImageOpsSpec extends AnyFunSuite {
     val feats = ImageFunctions.extractAvFeatures(imgs, decoder = FixedDecoder).collect()
     assert(feats.forall(f => f.duration_s == 3.0 && !f.stubbed))
   }
+
+  test("imageGateColumns: each gate fires independently; null caption safe; scan-local") {
+    val rows = Seq(
+      ("ok", 512, 512, "png", 512 * 512 * 3L, "a fine caption"),
+      ("small", 32, 512, "png", 512 * 32 * 3L, "a fine caption"),
+      ("aspect", 900, 128, "jpeg", 900 * 128 * 3L, "a fine caption"),
+      ("thumb", 512, 512, "jpeg", 1000L, "a fine caption"),
+      ("badfmt", 512, 512, "bmp", 512 * 512 * 3L, "a fine caption"),
+      ("nocap", 512, 512, "png", 512 * 512 * 3L, "   "),
+      ("nullcap", 512, 512, "png", 512 * 512 * 3L, null: String),
+      ("longcap", 512, 512, "png", 512 * 512 * 3L,
+        (1 to 200).map("w" + _).mkString(" "))
+    ).toDF("id", "w", "h", "fmt", "n_bytes", "caption")
+    val q = rows.select(col("id") +: ImageFunctions.imageGateColumns(
+      col("w"), col("h"), col("fmt"), col("n_bytes"), col("caption")): _*)
+    val m = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("ok").getAs[Boolean]("keep"))
+    assert(!m("small").getAs[Boolean]("res_ok"))
+    assert(m("aspect").getAs[Boolean]("res_ok") && !m("aspect").getAs[Boolean]("aspect_ok"))
+    assert(!m("thumb").getAs[Boolean]("bpp_ok"))
+    assert(!m("badfmt").getAs[Boolean]("fmt_ok") && m("badfmt").getAs[Boolean]("bpp_ok"))
+    assert(!m("nocap").getAs[Boolean]("caption_ok"))
+    assert(!m("nullcap").getAs[Boolean]("caption_ok"), "null caption must gate, not NPE")
+    assert(!m("longcap").getAs[Boolean]("caption_ok"), "token bound is inclusive-max")
+    Seq("small", "aspect", "thumb", "badfmt", "nocap", "nullcap", "longcap")
+      .foreach(id => assert(!m(id).getAs[Boolean]("keep"), id))
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"metadata gates must be scan-local:\n$plan")
+  }
 }
