@@ -238,6 +238,14 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q84_tile_hotspots" -> ((s, dir) => {
+      // tile-density hotspots: per-tile counts at z=24, 3×3 neighborhood
+      // sums via the packed-id ±2^29/±1 offset trick, z-score vs the global
+      // count distribution — integers until the final division/sqrt tree,
+      // spelled identically in the oracle → bit-exact
+      val pts = withXY(t(s, dir, "events"), "event_id")
+      graft.operators.Hotspots.tileHotspots(pts, col("x"), col("y"), zoom = 24)
+    }),
     "q83_image_gates" -> ((s, dir) => {
       // metadata quality gates for an image+caption table (LAION/DataComp
       // recipe, pre-decode): resolution, aspect, bytes-per-pixel, format
@@ -1561,6 +1569,25 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q84_tile_hotspots" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
+         idx AS (SELECT CAST(floor(x / 33554432.0 * 16777216) AS BIGINT) AS tx,
+                        16777215 - CAST(floor(y / 33554432.0 * 16777216) AS BIGINT) AS ty
+                 FROM pts),
+         c AS (SELECT 6917529027641081856 + tx * 536870912 + ty AS tile_id,
+                      count(*) AS c
+               FROM idx GROUP BY 1),
+         nb AS (SELECT c.tile_id + (dxs.dx * 536870912 + dys.dy) AS tile_id, c.c
+                FROM c, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy)),
+         ns AS (SELECT tile_id, CAST(SUM(c) AS BIGINT) AS nbr_sum FROM nb GROUP BY 1),
+         st AS (SELECT count(*) AS n, CAST(SUM(c) AS BIGINT) AS total,
+                       CAST(SUM(c * c) AS BIGINT) AS sumsq FROM c)
+         SELECT c.tile_id, CAST(c.c AS BIGINT) AS c, ns.nbr_sum,
+                (CAST(c.c AS DOUBLE) - CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) /
+                sqrt(CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE) -
+                     (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) *
+                     (CAST(total AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+         FROM c JOIN ns USING (tile_id), st""",
     "q83_image_gates" ->
       """WITH b AS (
            SELECT CAST(p_partkey AS BIGINT) AS k,

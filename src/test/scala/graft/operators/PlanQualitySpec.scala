@@ -519,6 +519,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("tile hotspots (q84): points scanned once (reused exchange), analytics on tile table") {
+    val q = graft.SparkEntry.queries("q84_tile_hotspots")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the per-tile count aggregate feeds THREE consumers (neighbor sums,
+    // the join, the global stats); the shuffle subtree must be computed
+    // once and reused, not re-scanned per consumer — at 10^12 points a
+    // missing reuse triples the corpus read
+    val scans = plan.linesIterator.count(l => l.contains("Scan parquet") ||
+      l.contains("FileScan parquet"))
+    assert(scans == 1, s"events must be scanned exactly once (got $scans):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the tile-count exchange must be reused across consumers:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row global-stats join must broadcast:\n$plan")
+    // semantics: counts conserve mass; z standardizes (mean ≈ 0 over tiles)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(1)).sum === spark.read.parquet(s"$sf/events.parquet").count())
+    val zMean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(zMean) < 1e-9, s"z-scores must center at 0: $zMean")
+    // each neighborhood sum >= own count (the 0,0 offset includes self)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
   test("simplify (q81): scan-local codegen walk; kernel semantics on edge cases") {
     val q = graft.SparkEntry.queries("q81_simplify")(spark, sf)
     val rows = q.collect()
