@@ -218,6 +218,16 @@ object Pipeline {
     * split) runs before enrichment, so the whole LLM-data path is one
     * resumable job: a crash/rerun recomputes only uncommitted buckets and
     * the curated content (keepers AND split values) is byte-stable. */
+  /** Scan-local image metadata gate (the q83 pack over the pipeline's own
+    * input columns — byte length stands in for a stored size column).
+    * Applied FIRST in `run`: broken/thumbnail payloads drop before any
+    * curation or decode stage spends cycles on them. */
+  def metadataGate(images: DataFrame, minSide: Int = 16,
+                   maxAspect: Double = 3.0): DataFrame =
+    images.where(graft.functions.ImageFunctions.imageGateColumns(
+      col("w"), col("h"), col("fmt"), length(col("bytes")), col("caption"),
+      minSide = minSide, maxAspect = maxAspect).last)
+
   def run(spark: SparkSession, imagesDir: String, polys: Seq[Footprint],
           outTable: String, zoom: Int = 20, nBuckets: Int = 16,
           curate: Boolean = false,
@@ -226,8 +236,11 @@ object Pipeline {
           maxSymbolRatio: Option[Double] = None,
           evalDocs: Option[DataFrame] = None,
           maxContamination: Double = 0.2,
-          exactDecontamination: Boolean = false): (Int, Int, Int) = {
-    val images = spark.read.parquet(imagesDir)
+          exactDecontamination: Boolean = false,
+          metadataGates: Boolean = false,
+          gateMinSide: Int = 16): (Int, Int, Int) = {
+    val raw = spark.read.parquet(imagesDir)
+    val images = if (metadataGates) metadataGate(raw, minSide = gateMinSide) else raw
     val (input, keep) =
       if (curate)
         (this.curate(images, scrubPii = scrubPii, maxRepetition = maxRepetition,
