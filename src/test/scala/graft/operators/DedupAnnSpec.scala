@@ -34,6 +34,18 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === nPairs)
   }
 
+  test("multimodalDupPairs: a pair must agree in BOTH modalities") {
+    val rows = Seq(
+      (1L, "alpha bravo charlie delta echo", 0x0L),
+      (2L, "alpha bravo charlie delta echo", 0x3L),     // text dup, hamming 2 → kept
+      (3L, "alpha bravo charlie delta echo", 0xFFFFFL), // text dup, hamming 20/18 → cut
+      (4L, "zulu yankee xray whiskey victor", 0x0L)     // sig match, text differs → no candidate
+    ).toDF("doc_id", "text", "phash")
+    val got = Dedup.multimodalDupPairs(rows, "doc_id", "text", "phash")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 2)))
+  }
+
   test("shingles: sliding 3-grams, short docs empty") {
     val d = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
     val got = d.select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
