@@ -238,6 +238,34 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q86_visit_sequences" -> ((s, dir) => {
+      // footprint VISIT segmentation (trajectory × PIP composition): every
+      // geotagged ping inside a building footprint, ordered per user by the
+      // total order (ts, event_id); consecutive same-footprint runs
+      // collapse to one visit. PIP is the scan-local codegen pip_matches
+      // path; the ordered pass is ONE entity-key shuffle (per-user order is
+      // the semantics — a window here is honest, bounded by user activity)
+      import org.apache.spark.sql.expressions.Window
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"), col("x"), col("y"))
+      val polys = (0L until 100L).map { i =>
+        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
+        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
+        val maxx = minx + 1.19; val maxy = miny + 1.19
+        Footprint(s"b$i", "Building", 0,
+          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
+          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
+          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
+      }
+      val hits = PipJoin.auto(pts, polys, res = 12)
+        .select(col("user_id"), col("ts"), col("event_id"), col("feature_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      hits.withColumn("prev", lag(col("feature_id"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("feature_id"))
+        .withColumn("visit_idx", row_number().over(w))
+        .select(col("user_id"), col("visit_idx"), col("feature_id"),
+          col("event_id").as("start_event"))
+    }),
     "q85_multimodal_pairs" -> ((s, dir) => {
       // multimodal dedup for image+caption rows: caption-LSH candidates
       // (q19 shape) verified by 64-bit signature Hamming <= 6. The corpus
@@ -1579,6 +1607,27 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q86_visit_sequences" ->
+      s"""WITH pts AS (SELECT event_id, user_id, ts,
+                  ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         polys AS (
+           SELECT p_partkey AS pid,
+                  457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.205 AS minx,
+                  5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.105 AS miny
+           FROM part WHERE p_partkey < 100),
+         hits AS (SELECT user_id, ts, event_id, 'b' || pid AS feature_id
+                  FROM pts JOIN polys
+                    ON x >= minx AND x <= minx + 1.19 AND y >= miny AND y <= miny + 1.19),
+         lagd AS (SELECT user_id, ts, event_id, feature_id,
+                    lag(feature_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM hits),
+         st AS (SELECT * FROM lagd WHERE prev IS NULL OR prev <> feature_id)
+         SELECT user_id,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+                  AS visit_idx,
+                feature_id, event_id AS start_event
+         FROM st""",
     "q85_multimodal_pairs" ->
       s"""WITH q19 AS ($q19Sql),
          q20 AS ($q20Sql)

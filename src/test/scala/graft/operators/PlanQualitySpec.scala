@@ -401,6 +401,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to (ts, user_id):\n$read")
   }
 
+  test("visit sequences (q86): scan-local PIP, one entity-key shuffle, collapse semantics") {
+    val q = graft.SparkEntry.queries("q86_visit_sequences")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"visit segmentation must shuffle exactly once, on the entity key:\n$plan")
+    assert(plan.contains("pip_matches"), s"PIP must be the codegen expr path:\n$plan")
+    // collapse semantics: visit_idx is dense 1..n per user, and no user has
+    // two consecutive visits to the same footprint
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val ordered = rs.sortBy(_.getInt(1))
+      assert(ordered.map(_.getInt(1)).toSeq === (1 to rs.length),
+        s"user $uid visit_idx must be dense")
+      ordered.map(_.getString(2)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a != b, s"user $uid has an uncollapsed run: $a")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("track length (q80): one entity-key shuffle, pruned scan, codegen kernel, brute parity") {
     val q = graft.SparkEntry.queries("q80_track_length")(spark, sf)
     val rows = q.collect()
