@@ -375,7 +375,7 @@ object C4Kernel {
     var li = 0
     while (li < lines.length) {
       val line = lines(li)
-      val last = if (line.isEmpty) ' ' else line.charAt(line.length - 1)
+      val last = if (line.isEmpty) '\u0000' else line.charAt(line.length - 1)
       val terminal = last == '.' || last == '!' || last == '?' || last == '"'
       var words = 0
       var inWord = false
