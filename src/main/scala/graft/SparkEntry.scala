@@ -266,6 +266,38 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q87_visit_dwell" -> ((s, dir) => {
+      // visit DWELL aggregation (gaps-and-islands): q86's change-detection
+      // assigns a running visit id over the per-user ordered hits, then one
+      // aggregate per (user, visit) yields ping count + start/end stamps.
+      // The groupBy keys are a superset of the window's partition key, so
+      // Spark reuses the entity-key shuffle — ONE Exchange total
+      import org.apache.spark.sql.expressions.Window
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"), col("x"), col("y"))
+      val polys = (0L until 100L).map { i =>
+        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
+        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
+        val maxx = minx + 1.19; val maxy = miny + 1.19
+        Footprint(s"b$i", "Building", 0,
+          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
+          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
+          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
+      }
+      val hits = PipJoin.auto(pts, polys, res = 12)
+        .select(col("user_id"), col("ts"), col("event_id"), col("feature_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      hits
+        .withColumn("is_start", coalesce(
+          lag(col("feature_id"), 1).over(w) =!= col("feature_id"), lit(true)))
+        .withColumn("visit_idx",
+          sum(col("is_start").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+        .groupBy("user_id", "visit_idx")
+        .agg(min(col("feature_id")).as("feature_id"),
+          count(lit(1)).as("n_pings"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    }),
     "q85_multimodal_pairs" -> ((s, dir) => {
       // multimodal dedup for image+caption rows: caption-LSH candidates
       // (q19 shape) verified by 64-bit signature Hamming <= 6. The corpus
@@ -1628,6 +1660,32 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q87_visit_dwell" ->
+      s"""WITH pts AS (SELECT event_id, user_id, ts,
+                  ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         polys AS (
+           SELECT p_partkey AS pid,
+                  457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.205 AS minx,
+                  5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.105 AS miny
+           FROM part WHERE p_partkey < 100),
+         hits AS (SELECT user_id, ts, event_id, 'b' || pid AS feature_id
+                  FROM pts JOIN polys
+                    ON x >= minx AND x <= minx + 1.19 AND y >= miny AND y <= miny + 1.19),
+         lagd AS (SELECT user_id, ts, event_id, feature_id,
+                    CASE WHEN lag(feature_id) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) = feature_id
+                         THEN 0 ELSE 1 END AS is_start
+                  FROM hits),
+         vis AS (SELECT user_id, ts, feature_id,
+                   CAST(SUM(is_start) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS visit_idx
+                 FROM lagd)
+         SELECT user_id, visit_idx, min(feature_id) AS feature_id,
+                CAST(count(*) AS BIGINT) AS n_pings,
+                min(ts) AS start_ts, max(ts) AS end_ts
+         FROM vis GROUP BY 1, 2""",
     "q85_multimodal_pairs" ->
       s"""WITH q19 AS ($q19Sql),
          q20 AS ($q20Sql)

@@ -422,6 +422,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("visit dwell (q87): groupBy reuses the window's entity-key shuffle; q86 parity") {
+    val q = graft.SparkEntry.queries("q87_visit_dwell")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the (user, visit) groupBy keys are a superset of the window's
+    // partition key — Spark must NOT add a second shuffle for it
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"dwell aggregation must reuse the entity-key shuffle:\n$plan")
+    // consistency with the visit SEGMENTATION view: same visit set per user
+    val visits = graft.SparkEntry.queries("q86_visit_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet === visits,
+      "q87 (user, visit_idx, feature) must equal q86's segmentation")
+    // dwell sanity: start <= end, n_pings >= 1
+    assert(rows.forall(r => r.getLong(3) >= 1L))
+    assert(rows.forall(r => !r.getAs[java.time.LocalDateTime](4)
+      .isAfter(r.getAs[java.time.LocalDateTime](5))))
+  }
+
   test("track length (q80): one entity-key shuffle, pruned scan, codegen kernel, brute parity") {
     val q = graft.SparkEntry.queries("q80_track_length")(spark, sf)
     val rows = q.collect()
