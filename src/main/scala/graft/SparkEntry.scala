@@ -266,6 +266,19 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q88_containment" -> ((s, dir) => {
+      // asymmetric CONTAINMENT pairs (quote/subset detection): every 9th
+      // doc spawns a 12-token "quote" twin (id+100000) whose containment
+      // vs its source is 1.0 while its Jaccard (~0.13) is far below any
+      // lshPairs gate; candidate recall is minhash's jaccard-shaped
+      // 1-(1-|A|/|B|)^4 — deterministic via md5, documented on the operator
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val quotes = t(s, dir, "documents").where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(coalesce(col("text"), lit("")), " "), 1, 12), " ")
+            .as("text"))
+      graft.operators.Dedup.containmentPairs(docs.union(quotes), minContainment = 0.9)
+    }),
     "q87_visit_dwell" -> ((s, dir) => {
       // visit DWELL aggregation (gaps-and-islands): q86's change-detection
       // assigns a running visit id over the per-user ordered hits, then one
@@ -1660,6 +1673,38 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q88_containment" ->
+      """WITH docs88 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+                  array_to_string((string_split(COALESCE(text, ''), ' '))[1:12], ' ')
+           FROM documents WHERE doc_id %% 9 = 0),
+         toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+                         string_split(lower(text), ' ') AS w FROM docs88),
+         sh AS (SELECT doc_id,
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          FOR i IN range(1, len(w) - 1)]) AS s
+                FROM toks WHERE len(w) >= 3),
+         sig AS (SELECT doc_id,
+                   min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
+                   min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
+                 FROM sh GROUP BY 1),
+         bk AS (SELECT doc_id, 0 AS band, m1 AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, m2 FROM sig
+                UNION ALL SELECT doc_id, 2, m3 FROM sig
+                UNION ALL SELECT doc_id, 3, m4 FROM sig),
+         small AS (SELECT band, bucket FROM bk GROUP BY 1, 2 HAVING count(*) <= 100),
+         bks AS (SELECT bk.* FROM bk JOIN small USING (band, bucket)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bks a JOIN bks b ON a.band = b.band AND a.bucket = b.bucket
+                                       AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+                CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                CAST(LEAST(len(ta.toks), len(tb.toks)) AS DOUBLE) AS containment
+         FROM cand JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+         WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+               CAST(LEAST(len(ta.toks), len(tb.toks)) AS DOUBLE) >= 0.9""",
     "q87_visit_dwell" ->
       s"""WITH pts AS (SELECT event_id, user_id, ts,
                   ${xySql.replace("%ID%", "event_id")}

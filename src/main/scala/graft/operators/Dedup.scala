@@ -72,21 +72,56 @@ object Dedup {
     // the DuckDB oracle applies the identical cap, so row parity holds).
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-    // Build shingles with the one-pass codegen kernel (shingle_make): tokens
-    // are adjacent in the source string, so rebuilding adjacency with
-    // posexplode + window lead() shuffled and sorted every TOKEN row for
-    // nothing; HOF transform() would interpret per element. One generator
-    // expression, zero shuffles before the minhash groupBy.
+    jaccardVerify(bandCandidates(
+      md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket), toks, minJaccard)
+  }
+
+  /** The md5-slice minhash band buckets shared by [[lshPairs]] and
+    * [[containmentPairs]]: one digest per shingle (one-pass codegen
+    * shingle_make — tokens are adjacent in the source string, so rebuilding
+    * adjacency with posexplode + window lead() would shuffle every TOKEN
+    * row for nothing, and HOF transform() would interpret per element),
+    * `perms` 8-hex slices as band keys, per-(id, band) minimum. */
+  private def md5SliceBuckets(docs: DataFrame, idCol: String, textCol: String,
+                              perms: Int, ngram: Int): DataFrame = {
     val exploded = docs.select(col(idCol).as("id"),
       explode(org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
         col(textCol), lit(ngram))).as("s"))
-    val hashes = exploded
+    exploded
       .select(col("id"), md5(col("s").cast("binary")).as("h0")) // ONE digest per shingle
       .select(col("id"),
         posexplode(array((1 to perms).map(p =>
           substring(col("h0"), (p - 1) * 8 + 1, 8)): _*)).as(Seq("band", "h")))
-    val buckets0 = hashes.groupBy("id", "band").agg(min("h").as("bucket"))
-    jaccardVerify(bandCandidates(buckets0, maxBucket), toks, minJaccard)
+      .groupBy("id", "band").agg(min("h").as("bucket"))
+  }
+
+  /**
+   * CONTAINMENT pairs — the asymmetric near-dup score for quote/subset
+   * detection: |A∩B| / min(|A|, |B|) over distinct token sets, so a short
+   * document fully quoted inside a long one scores 1.0 even when its
+   * Jaccard is tiny. Candidate generation is the same banded minhash as
+   * [[lshPairs]] (same shuffle shape, ids only) — and inherits minhash's
+   * JACCARD-shaped recall: a subset pair collides in a band only when the
+   * band's global-min shingle falls inside the subset, so low-Jaccard
+   * containment pairs are found with probability ≈ 1−(1−|A|/|B|)^perms,
+   * not certainty. For guaranteed exact-substring coverage use
+   * [[spanDedup]] / [[contaminationExact]]; this operator is the cheap
+   * set-level screen at identical cost to lshPairs.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", perms: Int = 4, ngram: Int = 3,
+                       minContainment: Double = 0.8,
+                       maxBucket: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    bandCandidates(md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket)
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          least(size(col("toks_a")), size(col("toks_b"))).cast("double"))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("containment"))
   }
 
   /**

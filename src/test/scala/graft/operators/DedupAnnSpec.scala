@@ -34,6 +34,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === nPairs)
   }
 
+  test("containmentPairs: subset scores 1.0 where the jaccard gate would discard it") {
+    val a = (1 to 8).map(i => s"q$i").mkString(" ")
+    val b = a + " " + (0 until 10).map(i => s"z0_$i").mkString(" ")
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // jaccard = 8/18 ≈ 0.44 — below the 0.5 lshPairs gate
+    assert(Dedup.lshPairs(d).count() === 0L)
+    val got = Dedup.containmentPairs(d).as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)), s"subset must score containment 1.0: $got")
+    // symmetric near-identical pair still scores (containment ⊇ jaccard hits)
+    val e = Seq((1L, a), (2L, a + " tail")).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(e).as[(Long, Long, Double)].collect()
+    assert(both.nonEmpty && both.head._3 === 1.0)
+  }
+
   test("multimodalDupPairs: a pair must agree in BOTH modalities") {
     val rows = Seq(
       (1L, "alpha bravo charlie delta echo", 0x0L),
