@@ -266,6 +266,31 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q89_tile_top_contrib" -> ((s, dir) => {
+      // per-tile dominant contributors: q77's exact area weights aggregated
+      // with the k-bounded topk_by — only 3-entry buffers cross the tile
+      // shuffle (no Window, no per-tile sort), ties (frac desc, rid asc)
+      // total-ordered so the oracle's row_number replay matches exactly
+      val r = t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(col("p_partkey").cast("long").as("rid"),
+          (((col("p_partkey") * 13L) % 500L).cast("double") * lit(37.0)).as("minx"),
+          (((col("p_partkey") * 29L) % 500L).cast("double") * lit(41.0)).as("miny"))
+        .withColumn("maxx", col("minx") + (col("rid") % 7L + 1L).cast("double") * lit(23.0))
+        .withColumn("maxy", col("miny") + (col("rid") % 5L + 1L).cast("double") * lit(31.0))
+      def env = struct(col("minx"), col("miny"), lit(0.0).as("minz"),
+        col("maxx"), col("maxy"), lit(0.0).as("maxz"))
+      val weights = r
+        .select(col("rid"), col("minx"), col("miny"), col("maxx"), col("maxy"),
+          explode(graft.functions.GeoFunctions.tile_cover(env, lit(20))).as("tile_id"))
+        .select(col("rid"), col("tile_id"),
+          graft.functions.GeoFunctions.tile_clip_frac(col("tile_id"), env, 20).as("frac"))
+      weights.groupBy("tile_id")
+        .agg(org.apache.spark.sql.graft.GeoFunctionsImpl
+          .topk_by(col("frac"), col("rid"), 3).as("top"))
+        .select(col("tile_id"), posexplode(col("top")))
+        .select(col("tile_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.key").as("rid"), col("col.score").as("frac"))
+    }),
     "q88_containment" -> ((s, dir) => {
       // asymmetric CONTAINMENT pairs (quote/subset detection): every 9th
       // doc spawns a 12-token "quote" twin (id+100000) whose containment
@@ -1673,6 +1698,50 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q89_tile_top_contrib" ->
+      """WITH r AS (
+           SELECT p_partkey AS rid,
+                  CAST((p_partkey * 13) %% 500 AS DOUBLE) * 37.0 AS minx,
+                  CAST((p_partkey * 29) %% 500 AS DOUBLE) * 41.0 AS miny
+           FROM part WHERE p_partkey < 200),
+         r2 AS (
+           SELECT rid, minx, miny,
+                  minx + CAST(rid %% 7 + 1 AS DOUBLE) * 23.0 AS maxx,
+                  miny + CAST(rid %% 5 + 1 AS DOUBLE) * 31.0 AS maxy
+           FROM r),
+         t AS (
+           SELECT rid, minx, miny, maxx, maxy,
+                  CAST(floor(minx / 33554432.0 * 1048576) AS BIGINT) AS tx0,
+                  CAST(floor(maxx / 33554432.0 * 1048576) AS BIGINT) AS tx1,
+                  1048575 - CAST(floor(maxy / 33554432.0 * 1048576) AS BIGINT) AS ty0,
+                  1048575 - CAST(floor(miny / 33554432.0 * 1048576) AS BIGINT) AS ty1
+           FROM r2),
+         e AS (
+           SELECT rid, minx, miny, maxx, maxy,
+                  unnest(flatten([[xi FOR yi IN range(ty0, ty1 + 1)]
+                                  FOR xi IN range(tx0, tx1 + 1)])) AS tx,
+                  unnest(flatten([[yi FOR yi IN range(ty0, ty1 + 1)]
+                                  FOR xi IN range(tx0, tx1 + 1)])) AS ty
+           FROM t),
+         b AS (
+           SELECT rid, 5764607523034234880 + tx * 536870912 + ty AS tile_id,
+                  minx, miny, maxx, maxy,
+                  CAST(tx AS DOUBLE) * 32.0 AS txmin,
+                  CAST(1048575 - ty AS DOUBLE) * 32.0 AS tymin
+           FROM e),
+         w AS (SELECT rid, tile_id,
+                CASE WHEN (maxx - minx) * (maxy - miny) > 0.0::DOUBLE
+                     THEN GREATEST(0.0::DOUBLE, LEAST(maxx, txmin + 32.0) - GREATEST(minx, txmin))
+                        * GREATEST(0.0::DOUBLE, LEAST(maxy, tymin + 32.0) - GREATEST(miny, tymin))
+                        / ((maxx - minx) * (maxy - miny))
+                     ELSE 0.0::DOUBLE END AS frac
+               FROM b),
+         rk AS (SELECT tile_id, rid, frac,
+                  row_number() OVER (PARTITION BY tile_id
+                                     ORDER BY frac DESC, rid ASC) AS rnk
+                FROM w)
+         SELECT tile_id, CAST(rnk AS INT) AS rank, rid, frac
+         FROM rk WHERE rnk <= 3""",
     "q88_containment" ->
       """WITH docs88 AS (
            SELECT doc_id, text FROM documents

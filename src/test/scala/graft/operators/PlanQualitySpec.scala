@@ -540,6 +540,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet === cover)
   }
 
+  test("tile top contributors (q89): bounded topk_by aggregate — no Window, no Sort") {
+    val q = graft.SparkEntry.queries("q89_tile_top_contrib")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"per-tile rank must not be a Window:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"per-tile top-k must map-side combine:\n$plan")
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    // each tile's entries are (frac desc, rid asc)-ordered and distinct rids
+    rows.groupBy(_.getLong(0)).foreach { case (tid, rs) =>
+      val ordered = rs.sortBy(_.getInt(1)).map(r => (r.getDouble(3), r.getLong(2)))
+      assert(ordered.toSeq.sortBy(e => (-e._1, e._2)) === ordered.toSeq, s"tile $tid order")
+      assert(ordered.map(_._2).distinct.length === ordered.length)
+    }
+  }
+
   test("ring audit (q78) is scan-local and classifies orientation per variant") {
     val q = graft.SparkEntry.queries("q78_ring_audit")(spark, sf)
     val rows = q.collect()
