@@ -73,7 +73,9 @@ object Pipeline {
    * dedup (q64) → duplicate-span dedup (q66)] → near-duplicate pairs over
    * `textCol` (with `normalizeForDedup` the pair/cluster signatures are
    * computed over q76-normalized text — accent/case/whitespace-insensitive
-   * clustering — while output text stays raw) → transitive
+   * clustering — while output text stays raw; with `sigCol` each pair must
+   * ALSO agree within `maxHamming` on the 64-bit perceptual signature —
+   * the q85 multimodal contract) → transitive
    * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
    * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
@@ -96,7 +98,9 @@ object Pipeline {
              exactDecontamination: Boolean = false,
              paragraphDedup: Boolean = false,
              spanDedupK: Option[Int] = None,
-             normalizeForDedup: Boolean = false): DataFrame = {
+             normalizeForDedup: Boolean = false,
+             sigCol: Option[String] = None,
+             maxHamming: Int = 6): DataFrame = {
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -191,8 +195,18 @@ object Pipeline {
       if (normalizeForDedup)
         docs.withColumn("text", graft.functions.TextFunctions.normText(col("text")))
       else docs
-    val pairs = graft.operators.Dedup.lshPairs(sigDocs, minJaccard = minJaccard)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // with `sigCol` (the input table's phash, q85 shape) the near-dup edge
+    // requires BOTH modalities: caption-LSH candidates verified within
+    // `maxHamming` on the 64-bit perceptual signature — recaptioned images
+    // and coincidentally same-caption distinct photos no longer merge
+    val pairs = (sigCol match {
+      case Some(sc) =>
+        graft.operators.Dedup.multimodalDupPairs(
+          sigDocs.join(rowsIn.select(col(idCol).as("doc_id"), col(sc).as("sig")), "doc_id"),
+          "doc_id", "text", "sig", minJaccard = minJaccard, maxHamming = maxHamming)
+      case None =>
+        graft.operators.Dedup.lshPairs(sigDocs, minJaccard = minJaccard)
+    }).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cc = graft.operators.Dedup.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")
     // coalesce: topk_by skips null-score rows, but a null-text doc that is

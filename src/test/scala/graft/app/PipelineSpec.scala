@@ -218,6 +218,25 @@ class PipelineSpec extends AnyFunSuite {
       "every later copy of the boilerplate line is removed")
   }
 
+  test("multimodal curate: identical captions with far signatures stay separate") {
+    import org.apache.spark.sql.functions._
+    val cap = (1 to 12).map(i => s"cap${i}tok").mkString(" ")
+    val rows = Seq(
+      ("img_a", cap, 0L),            // same caption, sig hamming 2 → dup of b
+      ("img_b", cap, 3L),
+      ("img_c", cap, 0xFFFFFL),      // same caption, sig far → distinct photo
+      ("img_d", "other caption entirely distinct tokens here", 0L)
+    ).toDF("image_id", "caption", "phash")
+    // caption-only curation merges all three same-caption rows
+    val plain = Pipeline.curate(rows).collect().map(_.getString(0)).toSet
+    assert(plain.size === 2, s"caption-only must merge a/b/c: $plain")
+    // signature-verified curation keeps the far-signature photo
+    val multi = Pipeline.curate(rows, sigCol = Some("phash"))
+      .collect().map(_.getString(0)).toSet
+    assert(multi.size === 3 && multi.contains("img_c") && multi.contains("img_d"),
+      s"far-signature photo must survive: $multi")
+  }
+
   test("metadataGate: drops exactly the aspect-violating fixture shapes, keeps the rest") {
     import org.apache.spark.sql.functions._
     val imgs = graft.sources.ImageGen.table(spark, 200, 4).toDF()
