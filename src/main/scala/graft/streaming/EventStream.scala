@@ -144,6 +144,66 @@ object EventStream {
     graft.operators.KnnJoin.broadcastGrid(stream, targets, k)
   }
 
+  final case class Ping(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                        feature_id: String)
+  /** buffered = (tsMillis, event_id, feature_id) not yet past the watermark;
+    * lastFp = footprint of the last FINALIZED ping ("" = none yet). */
+  final case class VisitBuf(buffered: Seq[(Long, Long, String)], lastFp: String,
+                            nVisits: Int)
+  final case class VisitStart(user_id: Long, ts_ms: Long, event_id: Long,
+                              feature_id: String, visit_idx: Int)
+
+  private def foldVisits(st: VisitBuf, uid: Long,
+                         pings: Seq[(Long, Long, String)]): (VisitBuf, Seq[VisitStart]) =
+    pings.foldLeft((st, Vector.empty[VisitStart])) { case ((s, out), (ms, eid, fp)) =>
+      if (fp != s.lastFp) {
+        val idx = s.nVisits + 1
+        (s.copy(lastFp = fp, nVisits = idx),
+          out :+ VisitStart(uid, ms, eid, fp, idx))
+      } else (s, out)
+    }
+
+  /**
+   * Streaming GEOFENCE visit detection — the streaming twin of the batch
+   * q86 visit segmentation: a stream of footprint-hit pings (the stateless
+   * codegen `pip_matches` stage upstream) is segmented per user into
+   * visits, and each visit START (the geofence-entry alert) is emitted
+   * exactly once, in Append mode, as soon as the watermark proves no
+   * earlier ping can still arrive. Ordering is event-time-correct ACROSS
+   * micro-batches the same way [[sessionize]] is: pings buffer in state,
+   * only the prefix below the watermark is folded (sorted by the q86 total
+   * order (ts, event_id)), and an event-time timeout drains the tail when
+   * the user goes quiet. State per user = undelivered pings + one footprint
+   * id — bounded by the watermark delay, independent of history length.
+   */
+  def geofenceVisits(pings: Dataset[Ping],
+                     watermarkDelay: String = "30 minutes"): DataFrame = {
+    val spark = pings.sparkSession
+    import spark.implicits._
+    pings.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Ping], state: GroupState[VisitBuf]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val (_, out) = foldVisits(st.copy(buffered = Nil), userId, st.buffered.sorted)
+            state.remove()
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(VisitBuf(Nil, "", 0))
+            val wm = state.getCurrentWatermarkMs()
+            val all = (st0.buffered ++ it.map(p =>
+              (p.ts.getTime, p.event_id, p.feature_id))).sorted
+            val (ripe, keep) = all.partition(_._1 < wm)
+            val (st1, out) = foldVisits(st0, userId, ripe)
+            state.update(st1.copy(buffered = keep))
+            val maxSeenMs = (wm +: keep.map(_._1)).max
+            state.setTimeoutTimestamp(maxSeenMs + 1L)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Replay a batch parquet dir through the streaming graph into memory sink. */
   def replayWindowed(spark: SparkSession, path: String, queryName: String): DataFrame = {
     val q = windowedCounts(spark, path).writeStream

@@ -295,6 +295,62 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming geofence visits == driver segmentation; late in-watermark ping reorders") {
+    import java.sql.Timestamp
+    def mts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // two replay files + a far-future sentinel; file 2 carries a LATE ping
+    // (user 1, t=4) that sorts BETWEEN file-1 pings — the event-time buffer
+    // must reorder it before the change-detection fold, or user 1 gains a
+    // phantom visit (…bA,bB(t6) then bB(t4) arriving late would read as one
+    // visit under arrival order but as bA,bA,bB(t4),bB(t6) under event time)
+    val f1 = Seq(
+      (1L, mts(0), 100L, "bA"), (1L, mts(2), 101L, "bA"), (1L, mts(6), 103L, "bB"),
+      (2L, mts(1), 200L, "bC"), (2L, mts(5), 201L, "bC"),
+      (3L, mts(3), 300L, "bA"))
+    val f2 = Seq(
+      (1L, mts(40), 104L, "bB"), (1L, mts(44), 105L, "bA"),
+      (1L, mts(4), 102L, "bB"), // late, within the watermark delay
+      (2L, mts(42), 202L, "bD"),
+      (3L, mts(41), 301L, "bA"))
+    val sentinel = Seq((99L, mts(100000), 999L, "bZ"))
+    val d = java.nio.file.Files.createTempDirectory("geofence").toString
+    Seq(f1, f2, sentinel).foreach { rows =>
+      rows.toDF("user_id", "ts", "event_id", "feature_id")
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("event_id", org.apache.spark.sql.types.LongType)
+      .add("feature_id", org.apache.spark.sql.types.StringType)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(d).as[EventStream.Ping]
+    val q = EventStream.geofenceVisits(stream, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("geofence_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("geofence_test")
+      .as[(Long, Long, Long, String, Int)].collect().toSet
+    // driver oracle: per-user (ts, event_id) sort + consecutive collapse
+    val want = (f1 ++ f2).groupBy(_._1).flatMap { case (uid, ps) =>
+      val ordered = ps.sortBy(p => (p._2.getTime, p._3))
+      ordered.foldLeft((Vector.empty[(Long, Long, Long, String, Int)], "")) {
+        case ((acc, last), (_, t, eid, fp)) =>
+          if (fp != last) ((acc :+ ((uid, t.getTime, eid, fp, acc.length + 1))), fp)
+          else (acc, last)
+      }._1
+    }.toSet
+    assert(got === want, s"streamed visit starts must equal the event-time segmentation")
+    // under EVENT time the late ping (102, t4, bB) is the first bB and must
+    // open the visit; under ARRIVAL order 103 (t6, already in file 1) would
+    // have — the buffer-and-sort is what this pins
+    assert(got.exists(_._3 == 102L), "the late ping opens the bB visit in event time")
+    assert(!got.exists(_._3 == 103L), "103 is mid-run in event time — no visit start")
+    assert(got.count(_._1 == 1L) === 3, "user 1: bA(t0), bB(t4), bA(t44)")
+  }
+
   test("streaming native session_window == batch Sessionize.sessions (q70 semantics)") {
     // the same Sessionize.sessions call under readStream: append mode emits
     // a session only once the watermark passes it, so a far-future sentinel
