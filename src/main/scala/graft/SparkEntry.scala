@@ -266,6 +266,36 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q90_idw" -> ((s, dir) => {
+      // inverse-distance-weighted interpolation of the event `value` field
+      // at the 100 footprint centers (spatial analytics: estimate a field
+      // at arbitrary sites from scattered samples): candidates via the
+      // DISTRIBUTED cell-ring kNN join (no driver-side target collect, the
+      // 10^12-target shape), k=8, then the ordered idw_fold kernel — every
+      // weight/product/sum is one IEEE op in the kNN total order (d2, id),
+      // replayed term-for-term by the oracle's ordered list_sum folds.
+      // Probe offsets (.805/.705) sit OFF the 0.01 sample lattice → d2 > 0
+      val probes = t(s, dir, "part").where(col("p_partkey") < 100)
+        .select(concat(lit("p"), col("p_partkey")).as("probe_id"),
+          (lit(457840.0) + (col("p_partkey") % 10).cast("double") * lit(1.6) +
+            lit(0.805)).as("x"),
+          (lit(5439081.0) + expr("CAST(p_partkey AS BIGINT) div 10").cast("double") *
+            lit(1.4) + lit(0.705)).as("y"))
+      val targets = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id").cast("string").as("target_id"),
+          col("x").as("cx"), col("y").as("cy"))
+      val knn = graft.operators.KnnJoin.ringJoin(probes, targets, k = 8)
+      val vals = t(s, dir, "events")
+        .select(col("event_id").cast("string").as("target_id"), col("value").as("v"))
+      knn.join(vals, "target_id")
+        .groupBy("probe_id")
+        .agg(sort_array(collect_list(struct(col("d2"), col("target_id"), col("v"))))
+          .as("nn"))
+        .select(col("probe_id"),
+          org.apache.spark.sql.graft.GeoFunctionsImpl
+            .idw_fold(col("nn.d2"), col("nn.v")).as("idw"),
+          size(col("nn")).as("k"))
+    }),
     "q89_tile_top_contrib" -> ((s, dir) => {
       // per-tile dominant contributors: q77's exact area weights aggregated
       // with the k-bounded topk_by — only 3-entry buffers cross the tile
@@ -1698,6 +1728,31 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q90_idw" ->
+      s"""WITH probes AS (
+           SELECT 'p' || p_partkey AS probe_id,
+                  457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.805 AS x,
+                  5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.705 AS y
+           FROM part WHERE p_partkey < 100),
+         targets AS (
+           SELECT CAST(event_id AS VARCHAR) AS target_id, value AS v,
+                  ${xySql.replace("%ID%", "event_id").replace(" AS x,", " AS cx,")
+                         .replace(" AS y", " AS cy")}
+           FROM events),
+         d AS (SELECT probe_id, target_id, v,
+                 (cx - x) * (cx - x) + (cy - y) * (cy - y) AS d2
+               FROM probes CROSS JOIN targets),
+         r AS (SELECT probe_id, target_id, v, d2,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY d2, target_id)
+                   AS rnk FROM d),
+         topk AS (SELECT * FROM r WHERE rnk <= 8),
+         agg AS (SELECT probe_id,
+                   list((1.0 / d2) * v ORDER BY d2, target_id) AS wv,
+                   list(1.0 / d2 ORDER BY d2, target_id) AS w,
+                   count(*) AS k
+                 FROM topk GROUP BY 1)
+         SELECT probe_id, list_sum(wv) / list_sum(w) AS idw, CAST(k AS INT) AS k
+         FROM agg""",
     "q89_tile_top_contrib" ->
       """WITH r AS (
            SELECT p_partkey AS rid,

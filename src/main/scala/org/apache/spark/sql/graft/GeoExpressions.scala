@@ -479,6 +479,29 @@ object RingKernels {
     s
   }
 
+  /** Inverse-distance-weighted estimate from PRE-ORDERED neighbor arrays
+    * (caller sorts by the kNN total order (d2, id)): one ascending pass
+    * accumulating Σ(1/d2ᵢ)·vᵢ and Σ(1/d2ᵢ), then one division. Every step
+    * is a single correctly-rounded IEEE op in a fixed sequence, so a SQL
+    * replay folding the same ordered term lists (list_sum left-folds —
+    * probed in the q73 work) reproduces the estimate bit-for-bit (q90).
+    * Empty input → NaN; a zero distance (exact hit) yields ±Inf weights —
+    * callers place probes off the sample lattice. */
+  def idw(d2s: ArrayData, vs: ArrayData): Double = {
+    val n = math.min(d2s.numElements(), vs.numElements())
+    if (n == 0) return Double.NaN
+    var wv = 0.0
+    var ws = 0.0
+    var i = 0
+    while (i < n) {
+      val w = 1.0 / d2s.getDouble(i)
+      wv += w * vs.getDouble(i)
+      ws += w
+      i += 1
+    }
+    wv / ws
+  }
+
   /** Ring perimeter = Σ edge lengths, summed in ASCENDING length order —
     * sqrt() is correctly rounded IEEE on both engines and a sorted
     * sequential fold is bit-reproducible (probed: DuckDB list_sum over
@@ -557,6 +580,22 @@ case class StSimplifyIdxExpr(first: Expression, second: Expression, third: Expre
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "st_simplify_idx"
+}
+
+/** idw_fold(d2s, vs) → inverse-distance-weighted estimate over pre-ordered
+  * neighbor arrays; fully codegen. */
+case class IdwFoldExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(d2s: Any, vs: Any): Any =
+    RingKernels.idw(d2s.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.RingKernels.idw($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "idw_fold"
 }
 
 /** st_path_length(xs, ys) → OPEN polyline length (sorted-fold sum, no
@@ -661,6 +700,8 @@ object GeoFunctionsImpl {
     column(StPathLengthExpr(expression(xs), expression(ys)))
   def st_simplify_idx(xs: Column, ys: Column, eps2: Column): Column =
     column(StSimplifyIdxExpr(expression(xs), expression(ys), expression(eps2)))
+  def idw_fold(d2s: Column, vs: Column): Column =
+    column(IdwFoldExpr(expression(d2s), expression(vs)))
   def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
     column(StDist2RingExpr(expression(xs), expression(ys), expression(px), expression(py)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
@@ -696,6 +737,8 @@ object GeoFunctionsImpl {
       es => StPathLengthExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_simplify_idx",
       es => StSimplifyIdxExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("idw_fold",
+      es => IdwFoldExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",
       es => StDist2RingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")

@@ -130,6 +130,17 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(sqlGot === sqlWant)
   }
 
+  test("idw_fold: hand-computed estimate, order sensitivity contract, empty input") {
+    graft.functions.GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT idw_fold(array(1.0d, 4.0d), array(10.0d, 20.0d)) AS a,
+                idw_fold(CAST(array() AS ARRAY<DOUBLE>),
+                         CAST(array() AS ARRAY<DOUBLE>)) AS b""").head()
+    // weights 1, 0.25 → (1*10 + 0.25*20) / 1.25 = 12
+    assert(r.getDouble(0) === 12.0)
+    assert(r.getDouble(1).isNaN, "empty neighbor set → NaN, never a crash")
+  }
+
   test("ringLowerBound is a true lower bound (random sampling)") {
     val res = 11
     val r2 = new scala.util.Random(7)
