@@ -266,6 +266,36 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q91_setback" -> ((s, dir) => {
+      // distance to the NEAREST footprint boundary per event (setback
+      // analysis — the planning metric behind "how far is this point from
+      // the closest building"): the 100 square rings broadcast, the exact
+      // st_dist2_ring kernel scores every (point, ring) pair scan-locally,
+      // and min(struct(d2, fid)) picks the closest with a total-order tie
+      // break. Per-pair distances carry q75's op-order-exact contract, min
+      // is order-free, sqrt is one op → bit-exact end to end
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_dist2_ring
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("x"), col("y"))
+      val polys = t(s, dir, "part").where(col("p_partkey") < 100)
+        .select(concat(lit("b"), col("p_partkey")).as("fid"),
+          (lit(457840.0) + (col("p_partkey") % 10).cast("double") * lit(1.6) +
+            lit(0.205)).as("minx"),
+          (lit(5439081.0) + expr("CAST(p_partkey AS BIGINT) div 10").cast("double") *
+            lit(1.4) + lit(0.105)).as("miny"))
+        .select(col("fid"), col("minx"), col("miny"),
+          (col("minx") + lit(1.19)).as("maxx"), (col("miny") + lit(1.19)).as("maxy"))
+        .select(col("fid"),
+          array(col("minx"), col("maxx"), col("maxx"), col("minx")).as("xs"),
+          array(col("miny"), col("miny"), col("maxy"), col("maxy")).as("ys"))
+      pts.crossJoin(broadcast(polys))
+        .select(col("event_id"), col("fid"),
+          st_dist2_ring(col("xs"), col("ys"), col("x"), col("y")).as("d2"))
+        .groupBy("event_id")
+        .agg(min(struct(col("d2"), col("fid"))).as("m"))
+        .select(col("event_id"), col("m.d2").as("d2"),
+          sqrt(col("m.d2")).as("dist"), col("m.fid").as("nearest"))
+    }),
     "q90_idw" -> ((s, dir) => {
       // inverse-distance-weighted interpolation of the event `value` field
       // at the 100 footprint centers (spatial analytics: estimate a field
@@ -1728,6 +1758,36 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q91_setback" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")
+                         .replace(" AS x,", " AS px,").replace(" AS y", " AS py")}
+           FROM events),
+         p AS (SELECT 'b' || p_partkey AS fid,
+                 457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.205 AS minx,
+                 5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.105 AS miny
+               FROM part WHERE p_partkey < 100),
+         p2 AS (SELECT fid, minx, miny,
+                  minx + 1.19::DOUBLE AS maxx, miny + 1.19::DOUBLE AS maxy FROM p),
+         v AS (SELECT fid, [minx, maxx, maxx, minx] AS xs,
+                      [miny, miny, maxy, maxy] AS ys FROM p2),
+         e AS (SELECT fid, unnest(xs) AS x1, unnest(ys) AS y1,
+                      unnest([xs[(i %% 4) + 1] FOR i IN range(1, 5)]) AS x2,
+                      unnest([ys[(i %% 4) + 1] FOR i IN range(1, 5)]) AS y2
+               FROM v),
+         t1 AS (SELECT event_id, fid, px, py, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+                FROM pts CROSS JOIN e),
+         t2 AS (SELECT *, dx * dx + dy * dy AS l2 FROM t1),
+         t3 AS (SELECT *, CASE WHEN l2 = 0.0::DOUBLE THEN 0.0::DOUBLE
+                               ELSE GREATEST(0.0::DOUBLE, LEAST(1.0::DOUBLE,
+                                    ((px - x1) * dx + (py - y1) * dy) / l2)) END AS t
+                FROM t2),
+         t4 AS (SELECT event_id, fid, px - (x1 + t * dx) AS ex, py - (y1 + t * dy) AS ey
+                FROM t3),
+         pr AS (SELECT event_id, fid, min(ex * ex + ey * ey) AS d2 FROM t4 GROUP BY 1, 2),
+         rk AS (SELECT event_id, fid, d2,
+                  row_number() OVER (PARTITION BY event_id ORDER BY d2, fid) AS rnk
+                FROM pr)
+         SELECT event_id, d2, sqrt(d2) AS dist, fid AS nearest FROM rk WHERE rnk = 1""",
     "q90_idw" ->
       s"""WITH probes AS (
            SELECT 'p' || p_partkey AS probe_id,

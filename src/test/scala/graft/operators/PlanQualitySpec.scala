@@ -540,6 +540,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSet === cover)
   }
 
+  test("setback distance (q91): rings broadcast, one reduce shuffle, codegen kernel, sanity") {
+    val q = graft.SparkEntry.queries("q91_setback")(spark, sf)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 100-ring side must broadcast — the point side never shuffles pairs:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"only the per-event min reduce may shuffle:\n$plan")
+    assert(plan.contains("st_dist2_ring"), s"exact kernel must score pairs:\n$plan")
+    // sanity: one row per event; distance 0 only ON a boundary; nearest is
+    // a real footprint id; interior/exterior both occur on this fixture
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.length.toLong === n)
+    assert(rows.forall(_.getString(3).startsWith("b")))
+    val dists = rows.map(_.getDouble(2))
+    assert(dists.forall(_ >= 0.0) && dists.max > 0.3,
+      "far-from-any-footprint points must exist")
+  }
+
   test("tile top contributors (q89): bounded topk_by aggregate — no Window, no Sort") {
     val q = graft.SparkEntry.queries("q89_tile_top_contrib")(spark, sf)
     val rows = q.collect()
