@@ -266,6 +266,18 @@ object SparkEntry {
         .select(col("user_id"), col("visit_idx"), col("feature_id"),
           col("event_id").as("start_event"))
     }),
+    "q92_quantile_norm" -> ((s, dir) => {
+      // cross-source quality calibration: a raw quality score is not
+      // comparable across sources, its per-source percent-rank is. This is
+      // the EXACT oracle twin (per-source sort); the production path is
+      // quantileNormalizeSketch (broadcast KLL grid + scan-local binary
+      // search), gap-tested in TextStatsSpec. Null-text rows filtered —
+      // engines disagree on NULL ordering inside window frames
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val scored = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityColumns(col("text")).last.as("score"))
+      graft.functions.TextFunctions.quantileNormalize(scored)
+    }),
     "q91_setback" -> ((s, dir) => {
       // distance to the NEAREST footprint boundary per event (setback
       // analysis — the planning metric behind "how far is this point from
@@ -1758,6 +1770,13 @@ object SparkEntry {
                   AS visit_idx,
                 feature_id, event_id AS start_event
          FROM st""",
+    "q92_quantile_norm" ->
+      s"""WITH sc AS (
+           SELECT doc_id, source, ($qualitySql) AS score
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, source, score,
+                percent_rank() OVER (PARTITION BY source ORDER BY score) AS qnorm
+         FROM sc""",
     "q91_setback" ->
       s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")
                          .replace(" AS x,", " AS px,").replace(" AS y", " AS py")}

@@ -585,6 +585,45 @@ object TextFunctions {
         size(win).as("n_tokens"))
   }
 
+  /**
+   * EXACT per-source quantile normalization of a score column — the
+   * cross-source calibration step before mixing corpora (a raw quality
+   * score of 0.6 means different things in different sources; its
+   * percent-rank WITHIN the source is comparable). This form is the ORACLE
+   * TWIN (q92): `percent_rank` per source is a per-group sort, fine at
+   * verification scale; at 10^12 docs use [[quantileNormalizeSketch]].
+   */
+  def quantileNormalize(docs: DataFrame, idCol: String = "doc_id",
+                        srcCol: String = "source",
+                        scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col(scoreCol))
+    docs.select(col(idCol), col(srcCol), col(scoreCol).as("score"))
+      .withColumn("qnorm", percent_rank().over(w))
+  }
+
+  /**
+   * Sketch-scale quantile normalization: ONE map-side-combined groupBy
+   * builds a bounded per-source KLL quantile grid (`gridN`+1 points), the
+   * tiny (sources × grid) table broadcasts, and each row's rank estimate
+   * is a scan-local O(log grid) binary search (`grid_rank` codegen kernel).
+   * No per-group sort ever happens; error ≤ grid resolution (1/gridN) +
+   * the KLL rank-error bound (guarantee-tested in QuantileSketchSpec) —
+   * the sketch-vs-exact gap is asserted in TextStatsSpec.
+   */
+  def quantileNormalizeSketch(docs: DataFrame, idCol: String = "doc_id",
+                              srcCol: String = "source", scoreCol: String = "score",
+                              k: Int = 200, gridN: Int = 100): DataFrame = {
+    val probs = (0 to gridN).map(_.toDouble / gridN)
+    val grids = docs.groupBy(srcCol)
+      .agg(org.apache.spark.sql.graft.TextFunctionsImpl
+        .kll_quantiles_probs(col(scoreCol), k, probs).as("grid"))
+    docs.join(broadcast(grids), Seq(srcCol))
+      .select(col(idCol), col(srcCol), col(scoreCol).as("score"),
+        org.apache.spark.sql.graft.TextFunctionsImpl
+          .grid_rank(col(scoreCol), col("grid")).as("qnorm_est"))
+  }
+
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("*") +: (langId(col(textCol)).as("lang_pred") +:
       fingerprint(col(textCol)).as("fp16") +: qualityColumns(col(textCol))): _*)

@@ -766,5 +766,6 @@ object GeoFunctionsImpl {
       es => MinHashBandsMpExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("c4_clean", es => C4CleanExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("norm_text", es => NormTextExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("grid_rank", es => GridRankExpr(es(0), es(1)), "built-in")
   }
 }

@@ -493,6 +493,43 @@ case class BpeEncodeExpr(child: Expression, model: graft.functions.BpeTokenizer.
   override def prettyName: String = "bpe_encode"
 }
 
+/**
+ * grid_rank(score, grid) — rank estimate in [0, 1] from a SORTED broadcast
+ * quantile grid (the KLL quantile table): fraction of grid entries <= score,
+ * found by binary search. The scan-local half of sketch-scale quantile
+ * normalization: the exact per-group percent_rank needs a full per-group
+ * sort; the sketch path reduces each group to a bounded grid and turns the
+ * per-row rank into O(log grid) comparisons inside codegen.
+ */
+object GridRankKernel {
+  def eval(score: Double, grid: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = grid.numElements()
+    if (n == 0) return Double.NaN
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (grid.getDouble(mid) <= score) lo = mid + 1 else hi = mid
+    }
+    lo.toDouble / n.toDouble
+  }
+}
+
+/** grid_rank(score, grid) — codegen'd static call into [[GridRankKernel]]. */
+case class GridRankExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, ArrayType(DoubleType))
+  override def nullSafeEval(s: Any, g: Any): Any =
+    GridRankKernel.eval(s.asInstanceOf[Double],
+      g.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, g) => s"org.apache.spark.sql.graft.GridRankKernel.eval($s, $g)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "grid_rank"
+}
+
 object TextFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
@@ -525,4 +562,8 @@ object TextFunctionsImpl {
   def norm_text(text: Column): Column = column(NormTextExpr(expression(text)))
   def bpe_encode(text: Column, model: graft.functions.BpeTokenizer.BpeModel): Column =
     column(BpeEncodeExpr(expression(text), model))
+  def grid_rank(score: Column, grid: Column): Column =
+    column(GridRankExpr(expression(score), expression(grid)))
+  def kll_quantiles_probs(x: Column, k: Int, probs: Seq[Double]): Column =
+    column(QuantileSketchAgg(expression(x), k, probs).toAggregateExpression())
 }

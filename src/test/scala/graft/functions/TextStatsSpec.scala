@@ -199,6 +199,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("quantileNormalizeSketch tracks exact percent_rank within grid+KLL error; no sort") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityColumns(col("text")).last.as("score"))
+    val exact = TextFunctions.quantileNormalize(docs)
+      .select("doc_id", "qnorm").as[(Long, Double)].collect().toMap
+    val est = TextFunctions.quantileNormalizeSketch(docs)
+    est.collect()
+    val plan = est.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Window"), s"sketch path must not sort per source:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"grid table must broadcast:\n$plan")
+    val rows = est.select("doc_id", "source", "score", "qnorm_est")
+      .as[(Long, String, Double, Double)].collect()
+    assert(rows.length === exact.size)
+    // error bound: 1/gridN grid resolution + KLL rank error (guarantee-
+    // tested elsewhere); generous envelope at this n/k
+    val worst = rows.map(r => math.abs(r._4 - exact(r._1))).max
+    assert(worst <= 0.08, s"sketch rank estimate drifted: worst=$worst")
+    // monotone within source: higher score never gets a lower estimate
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      rs.sortBy(_._3).map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b, s"$src: rank estimate must be monotone")
+        case _ =>
+      }
+    }
+  }
+
   test("chunkDocs: sliding windows with overlap, short tail, empty/null docs, scan-local") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
