@@ -79,7 +79,10 @@ object Pipeline {
    * (threshold convention: every `max*` knob is INCLUSIVE — a row exactly at
    * the threshold is kept; only rows strictly above it are dropped)
    * clusters → keep the highest-quality row per cluster (singletons keep
-   * themselves; ties break on id ascending) → attach the deterministic
+   * themselves; ties break on id ascending; with `calibrateSrcCol` the
+   * keeper score is the q92 per-source sketch rank, so cross-source
+   * clusters compare calibrated positions, not raw scales) → attach the
+   * deterministic
    * content-derived train/val/test split. Returns the surviving rows
    * (scrubbed text if `scrubPii`), plus a `split` column. Every stage is
    * the banded/scalar-shuffle shape of the underlying operators — nothing
@@ -100,7 +103,8 @@ object Pipeline {
              spanDedupK: Option[Int] = None,
              normalizeForDedup: Boolean = false,
              sigCol: Option[String] = None,
-             maxHamming: Int = 6): DataFrame = {
+             maxHamming: Int = 6,
+             calibrateSrcCol: Option[String] = None): DataFrame = {
     // optional upstream gates, in standard pipeline order:
     // 1. PII scrub FIRST — redacted text is what every later stage (and the
     //    training set) sees; 2. repetition gate (scan-local, zero shuffle);
@@ -211,9 +215,22 @@ object Pipeline {
       .withColumnRenamed("node", "doc_id")
     // coalesce: topk_by skips null-score rows, but a null-text doc that is
     // its own cluster must still keep itself (the window form kept it)
-    val quality = docs.select(col("doc_id"),
+    val rawQuality = docs.select(col("doc_id"),
       coalesce(graft.functions.TextFunctions.qualityColumns(col("text")).last,
         lit(Double.NegativeInfinity)).as("quality"))
+    // with `calibrateSrcCol` the keeper score is the PER-SOURCE rank of the
+    // raw quality (q92 sketch path — broadcast KLL grid, no per-source
+    // sort): when a cluster spans sources, "best" compares calibrated
+    // positions, not raw scores whose scales differ per source
+    val quality = calibrateSrcCol match {
+      case Some(sc) =>
+        graft.functions.TextFunctions.quantileNormalizeSketch(
+          rawQuality.join(rowsIn.select(col(idCol).as("doc_id"), col(sc).as("src")),
+            "doc_id"),
+          idCol = "doc_id", srcCol = "src", scoreCol = "quality")
+          .select(col("doc_id"), col("qnorm_est").as("quality"))
+      case None => rawQuality
+    }
     val labeled = quality.join(cc, Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("root"), col("doc_id")))
     // per-cluster argmax (quality desc, id asc) via the 1-bounded topk_by

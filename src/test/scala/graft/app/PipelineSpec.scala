@@ -237,6 +237,32 @@ class PipelineSpec extends AnyFunSuite {
       s"far-signature photo must survive: $multi")
   }
 
+  test("calibrated keeper: a cross-source cluster picks the per-source-best doc") {
+    import org.apache.spark.sql.functions._
+    def uniq(i: Int, n: Int) = (1 to n).map(j => s"u${i}x$j").mkString(" ")
+    // rich source: long high-quality docs; its WORST doc (mdoc) pairs with
+    // poor source's BEST doc (ddoc, a near-dup prefix of mdoc). Raw quality
+    // favors mdoc (longer); per-source calibration favors ddoc (top of its
+    // source vs bottom of its source)
+    val rich = (1 to 10).map(i => (s"r$i", uniq(i, 55), "rich"))
+    val mText = (1 to 20).map(j => s"mmw$j").mkString(" ")
+    val dText = (1 to 17).map(j => s"mmw$j").mkString(" ")
+    val poor = (1 to 10).map(i => (s"p$i", s"junk junk junk junk j$i", "poor"))
+    val df = ((rich :+ (("mdoc", mText, "rich"))) ++
+      (poor :+ (("ddoc", dText, "poor")))).toDF("image_id", "caption", "source")
+    val q = df.select(col("image_id"),
+        graft.functions.TextFunctions.qualityColumns(col("caption")).last.as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("mdoc") > q("ddoc"), "fixture guard: raw quality must favor mdoc")
+    val raw = Pipeline.curate(df).collect().map(_.getString(0)).toSet
+    assert(raw.contains("mdoc") && !raw.contains("ddoc"),
+      s"raw keeper = higher raw score: $raw")
+    val cal = Pipeline.curate(df, calibrateSrcCol = Some("source"))
+      .collect().map(_.getString(0)).toSet
+    assert(cal.contains("ddoc") && !cal.contains("mdoc"),
+      s"calibrated keeper = per-source top: $cal")
+  }
+
   test("metadataGate: drops exactly the aspect-violating fixture shapes, keeps the rest") {
     import org.apache.spark.sql.functions._
     val imgs = graft.sources.ImageGen.table(spark, 200, 4).toDF()
