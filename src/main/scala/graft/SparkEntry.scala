@@ -33,6 +33,19 @@ object SparkEntry {
     """457840.0 + CAST((%ID% * 7919) %% 1600 AS DOUBLE) * 0.01::DOUBLE AS x,
        5439081.0 + CAST((%ID% * 104729) %% 1400 AS DOUBLE) * 0.01::DOUBLE AS y"""
 
+  /** The 100-square CityJSON-grid-shaped footprint fixture shared by
+    * q40/q86/q87 (corner offsets 0.205/0.105 keep every derived point off
+    * the ring boundary, so inclusive-vs-exclusive semantics cannot flake). */
+  private def gridSquares(ids: Seq[Long]): Seq[Footprint] = ids.map { i =>
+    val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
+    val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
+    val maxx = minx + 1.19; val maxy = miny + 1.19
+    Footprint(s"b$i", "Building", 0,
+      Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
+      Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
+      XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
+  }
+
   // fixture-derived footprints (engine-only queries)
   private lazy val fzkFootprints: Seq[Footprint] =
     CityGmlReader.toFootprints(
@@ -248,15 +261,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val pts = withXY(t(s, dir, "events"), "event_id")
         .select(col("event_id"), col("user_id"), col("ts"), col("x"), col("y"))
-      val polys = (0L until 100L).map { i =>
-        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
-        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
-        val maxx = minx + 1.19; val maxy = miny + 1.19
-        Footprint(s"b$i", "Building", 0,
-          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
-          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
-          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
-      }
+      val polys = gridSquares(0L until 100L)
       val hits = PipJoin.auto(pts, polys, res = 12)
         .select(col("user_id"), col("ts"), col("event_id"), col("feature_id"))
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -385,15 +390,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val pts = withXY(t(s, dir, "events"), "event_id")
         .select(col("event_id"), col("user_id"), col("ts"), col("x"), col("y"))
-      val polys = (0L until 100L).map { i =>
-        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
-        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
-        val maxx = minx + 1.19; val maxy = miny + 1.19
-        Footprint(s"b$i", "Building", 0,
-          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
-          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
-          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
-      }
+      val polys = gridSquares(0L until 100L)
       val hits = PipJoin.auto(pts, polys, res = 12)
         .select(col("user_id"), col("ts"), col("event_id"), col("feature_id"))
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1224,15 +1221,7 @@ object SparkEntry {
         .select(col("event_id"), col("x"), col("y"))
       val ids = t(s, dir, "part").where(col("p_partkey") < 100)
         .select(col("p_partkey").cast("long")).collect().map(_.getLong(0)).toSeq
-      val polys = ids.map { i =>
-        val minx = 457840.0 + ((i % 10).toDouble * 1.6) + 0.205
-        val miny = 5439081.0 + ((i / 10).toDouble * 1.4) + 0.105
-        val maxx = minx + 1.19; val maxy = miny + 1.19
-        Footprint(s"b$i", "Building", 0,
-          Seq(XY(minx, miny), XY(maxx, miny), XY(maxx, maxy), XY(minx, maxy)),
-          Seq.empty, Env6(minx, miny, 0, maxx, maxy, 0),
-          XY((minx + maxx) / 2, (miny + maxy) / 2), Map.empty)
-      }
+      val polys = gridSquares(ids)
       PipJoin.auto(pts, polys, res = 12).select(col("event_id"), col("feature_id"))
     }),
 
