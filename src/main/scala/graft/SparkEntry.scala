@@ -920,7 +920,11 @@ object SparkEntry {
       val ys = array(cy, cy, cy + h * 0.5, cy + h * 0.5, cy + h, cy + h)
       t(s, dir, "part").where(col("p_partkey") < 200)
         .select(pk.as("poly_id"),
-          st_simplify_idx(xs, ys, lit(0.36)).as("kept"))
+          st_simplify_idx(xs, ys, lit(0.36)).as("kept_idx"))
+        // scalar projection of the kept-index list: the driver's comparer
+        // sorts cells, which an array column breaks — same digits both sides
+        .select(col("poly_id"), size(col("kept_idx")).as("n_kept"),
+          concat_ws(",", col("kept_idx").cast("array<string>")).as("kept"))
     }),
     "q78_ring_audit" -> ((s, dir) => {
       // ring validity / orientation audit — the geometry-QA gate an ingest
@@ -1294,8 +1298,10 @@ object SparkEntry {
       val model = graft.functions.BpeTokenizer.train(docs, numMerges = 200, maxWords = 5000)
       docs.select(col("doc_id"),
           graft.functions.BpeTokenizer.encodeTokens(model, col("text")).as("tokens"))
+        // xxhash64 recurses into array elements natively — one scalar cell
+        // carries the whole token sequence for the determinism probe
         .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
-          col("tokens"))
+          xxhash64(col("tokens")).as("tokens_hash"))
     }),
     "g14_corpus_report" -> ((s, dir) =>
       // one-pass per-source curation dashboard; every aggregate is
@@ -2539,7 +2545,9 @@ object SparkEntry {
                    ((xs[i+1] - lx) * (xs[i+1] - lx) + (ys[i+1] - ly) * (ys[i+1] - ly))
                      >= 0.36::DOUBLE AS keepit
                  FROM step WHERE i < len(xs)) s)
-         SELECT poly_id, kept FROM step WHERE i = len(xs)""",
+         SELECT poly_id, CAST(len(kept) AS INT) AS n_kept,
+                array_to_string(kept, ',') AS kept
+         FROM step WHERE i = len(xs)""",
     "q78_ring_audit" ->
       """WITH p AS (
            SELECT CAST(p_partkey AS BIGINT) AS poly_id,

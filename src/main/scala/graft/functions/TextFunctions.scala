@@ -556,6 +556,15 @@ object TextFunctions {
         expr("percentile(toks, array(0.5, 0.9, 0.99))").as("tok_pcts"),
         max(col("toks")).as("tok_max"),
         countDistinct(col("lang_pred")).as("n_langs"))
+      // one array-percentile buffer per group, projected to scalar columns:
+      // downstream consumers (BI sinks, the driver's pandas gate) sort rows
+      // by column value, which an array cell breaks
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("distinct_fp"),
+        col("tok_min"),
+        element_at(col("tok_pcts"), 1).as("tok_p50"),
+        element_at(col("tok_pcts"), 2).as("tok_p90"),
+        element_at(col("tok_pcts"), 3).as("tok_p99"),
+        col("tok_max"), col("n_langs"))
   }
 
   /**

@@ -186,8 +186,16 @@ object EventStream {
         (userId: Long, it: Iterator[Ping], state: GroupState[VisitBuf]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            val (_, out) = foldVisits(st.copy(buffered = Nil), userId, st.buffered.sorted)
-            state.remove()
+            val (st1, out) = foldVisits(st.copy(buffered = Nil), userId, st.buffered.sorted)
+            // keep a DRAINED state (no buffered pings, lastFp/nVisits intact)
+            // rather than removing: a user resuming pings in the same
+            // footprint after a quiet gap >= the watermark delay must NOT
+            // re-emit a visit start or restart visit_idx — batch q86
+            // collapses consecutive same-footprint hits across any gap, and
+            // "each visit start emits exactly once" is the contract. Cost:
+            // one (string, int) per ever-seen user with no timeout armed —
+            // bounded by user cardinality, not by history length.
+            state.update(st1.copy(buffered = Nil))
             out.iterator
           } else {
             val st0 = state.getOption.getOrElse(VisitBuf(Nil, "", 0))

@@ -260,8 +260,14 @@ final class TopKByBuffer(val k: Int, val keyOrd: Ordering[Any]) {
   val keys: Array[Any] = new Array[Any](k)
   val payloads: Array[Any] = new Array[Any](k)
 
-  private def beats(s: Double, key: Any, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && keyOrd.compare(key, keys(i)) < 0)
+  // java.lang.Double.compare, not raw >/==: NaN is unordered under primitive
+  // comparison, so a NaN entry could neither displace nor be displaced —
+  // diverging from the row_number() window twin, whose ORDER BY total order
+  // ranks NaN above every double (quantile grids and idw can emit NaN scores)
+  private def beats(s: Double, key: Any, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && keyOrd.compare(key, keys(i)) < 0)
+  }
 
   /** Losing rows are the overwhelming majority at scale — callers check this
     * BEFORE copying the key/payload values, so losers cost zero allocation.

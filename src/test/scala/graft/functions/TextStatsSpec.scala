@@ -167,8 +167,9 @@ class TextStatsSpec extends AnyFunSuite {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select(col("source"), col("n_docs"), col("n_tokens"), col("distinct_fp"),
-        col("tok_min"), concat_ws(",", col("tok_pcts")).as("p"), col("tok_max"),
-        col("n_langs"))
+        col("tok_min"),
+        concat_ws(",", col("tok_p50"), col("tok_p90"), col("tok_p99")).as("p"),
+        col("tok_max"), col("n_langs"))
       .as[(String, Long, Long, Long, Long, String, Long, Long)].collect().toSet
     val got = canon(TextFunctions.corpusReport(docs))
     assert(got === canon(TextFunctions.corpusReport(docs.repartition(13, col("doc_id")))),

@@ -47,6 +47,30 @@ class TopKBySpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores rank above every double, matching the window's total order") {
+    // raw >/== comparisons leave NaN unordered (it neither displaces nor is
+    // displaced); Double.compare ranks it greater-than-all, which is what
+    // row_number() OVER (ORDER BY score DESC) does. quantileNormalizeSketch
+    // (empty grid) and idw_fold can feed NaN scores into keep-best.
+    val rows = spark.range(600).select(
+      (col("id") % 3).as("grp"),
+      concat(lit("k"), format_string("%04d", col("id"))).as("key"),
+      when(col("id") % 100 === 7, lit(Double.NaN))
+        .otherwise(((col("id") * 31) % 13).cast("double")).as("score"))
+      .repartition(5)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("key").asc)
+    val want = rows.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 4)
+      .select(col("grp"), col("key"), col("rnk"))
+      .as[(Long, String, Int)].collect().toSet
+    val got = rows.groupBy("grp")
+      .agg(GeoFunctionsImpl.topk_by(col("score"), col("key"), 4).as("top"))
+      .select(col("grp"), explode(col("top")).as("e"))
+      .select(col("grp"), col("e.key"), col("e.rnk"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(want.exists(_._2.endsWith("0007")), "fixture must put a NaN in the top-4")
+    assert(got === want)
+  }
+
   test("payload-free 3-arg form and SQL surface agree with the window") {
     val want = windowTwin(2).map { case (g, key, s, _, _, r) => (g, key, s, r) }
     val got = cands.groupBy("grp")

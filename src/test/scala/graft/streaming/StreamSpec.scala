@@ -351,6 +351,49 @@ class StreamSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) === 3, "user 1: bA(t0), bB(t4), bA(t44)")
   }
 
+  test("geofence visits survive a quiet gap past the watermark: no duplicate start, idx continues") {
+    import java.sql.Timestamp
+    def mts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // the timed-out branch must keep a DRAINED state (lastFp, nVisits), not
+    // remove it: user 1 goes quiet for >> the watermark delay, the timeout
+    // fires (in a batch where the user has NO data — with data the buffers
+    // just merge and the branch never runs), then the user resumes in the
+    // SAME footprint. A removed state would re-emit a bA visit start and
+    // restart visit_idx at 1 — batch q86 collapses the run across any gap.
+    val files = Seq(
+      Seq((1L, mts(0), 100L, "bA"), (1L, mts(2), 101L, "bA")),
+      Seq((99L, mts(10000), 990L, "bZ")), // watermark jump; user 1 still buffered
+      Seq((98L, mts(10001), 980L, "bZ")), // user-1 TIMEOUT fires here (no data)
+      Seq((1L, mts(10050), 102L, "bA"), (1L, mts(10060), 103L, "bB")), // resume
+      Seq((97L, mts(200000), 970L, "bZ")), // push watermark past the resumed pings
+      Seq((96L, mts(200001), 960L, "bZ"))) // fire user-1's re-armed timeout
+    val d = java.nio.file.Files.createTempDirectory("geofence_gap").toString
+    files.foreach { rows =>
+      rows.toDF("user_id", "ts", "event_id", "feature_id")
+        .coalesce(1).write.mode("append").parquet(d)
+      Thread.sleep(1100)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("event_id", org.apache.spark.sql.types.LongType)
+      .add("feature_id", org.apache.spark.sql.types.StringType)
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(d).as[EventStream.Ping]
+    val q = EventStream.geofenceVisits(stream, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("geofence_gap_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("geofence_gap_test")
+      .as[(Long, Long, Long, String, Int)].collect().filter(_._1 == 1L).toSet
+    val want = Set(
+      (1L, mts(0).getTime, 100L, "bA", 1),     // first bA entry
+      (1L, mts(10060).getTime, 103L, "bB", 2)) // footprint CHANGE after the gap
+    assert(u1 === want,
+      "same-footprint resume after a quiet gap must not re-emit; idx must continue")
+  }
+
   test("streaming native session_window == batch Sessionize.sessions (q70 semantics)") {
     // the same Sessionize.sessions call under readStream: append mode emits
     // a session only once the watermark passes it, so a far-future sentinel
