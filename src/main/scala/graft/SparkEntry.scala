@@ -926,6 +926,48 @@ object SparkEntry {
         .select(col("poly_id"), size(col("kept_idx")).as("n_kept"),
           concat_ws(",", col("kept_idx").cast("array<string>")).as("kept"))
     }),
+    "q93_convex_hull" -> ((s, dir) => {
+      // convex hull (Andrew's monotone chain codegen kernel) — the
+      // footprint-generalization step LoD aggregation runs before setback /
+      // envelope checks: 16 scattered lattice points per polygon (the
+      // (7j, 11j) mod-16 orbit is injective in j, so points are distinct by
+      // construction), hull returned CCW from the lexicographic minimum.
+      // Every push/pop decision is a sign test on an exact small-integer
+      // cross product, so the DuckDB recursive-CTE replay (same sorted walk,
+      // same <= 0 pop rule) hash-compares bit-exact, including the shoelace
+      // area over the hull ring
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.{st_convex_hull, st_area}
+      val pk = col("p_partkey").cast("long")
+      val xs = array((0 until 16).map(j => ((pk * 3 + lit(j * 7)) % 16).cast("double")): _*)
+      val ys = array((0 until 16).map(j => ((pk * 5 + lit(j * 11)) % 16).cast("double")): _*)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), st_convex_hull(xs, ys).as("h"))
+        .select(col("poly_id"), size(col("h")).as("n_hull"),
+          concat_ws(";", transform(col("h"), p =>
+            concat(p.getField("x").cast("int").cast("string"), lit(":"),
+              p.getField("y").cast("int").cast("string")))).as("hull"),
+          st_area(col("h.x"), col("h.y")).as("hull_area"))
+    }),
+    "g16_geodesic" -> ((s, dir) => {
+      // great-circle trajectory accounting — the lon/lat twin of q80 for
+      // un-projected geotagged corpora: per-user track length in metres via
+      // the sorted-fold haversine kernel plus distance from the user's first
+      // ping to a fixed landmark. StrictMath (fdlibm) is bit-specified, so
+      // the g-row rides the 4-vs-8-core determinism probe and GeodesicSpec
+      // replays the kernels driver-side exactly; no DuckDB row (platform
+      // libm trig — the repo's g8 rule)
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.{st_dist_sphere, st_path_length_sphere}
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            ((col("x") % 360.0) - 180.0).as("lon"),
+            ((col("y") % 170.0) - 85.0).as("lat")).as("p"))
+      pts.groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("user_id"), size(col("ps")).as("n_pings"),
+          st_path_length_sphere(col("ps.lon"), col("ps.lat")).as("track_m"),
+          st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
+            lit(11.5755), lit(48.1372)).as("d_landmark_m"))
+    }),
     "q78_ring_audit" -> ((s, dir) => {
       // ring validity / orientation audit — the geometry-QA gate an ingest
       // pipeline runs before indexing: vertex count, explicit-closure flag,
@@ -2520,6 +2562,41 @@ object SparkEntry {
          SELECT poly_id, abs(ss) * 0.5::DOUBLE AS area,
                 sx / (ss * 3.0::DOUBLE) AS cx, sy / (ss * 3.0::DOUBLE) AS cy
          FROM s""",
+    "q93_convex_hull" ->
+      """WITH RECURSIVE p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id, CAST(p_partkey AS BIGINT) AS pk
+           FROM part WHERE p_partkey < 200),
+         pts0 AS (
+           SELECT poly_id,
+             unnest([CAST((pk*3 + j*7) %% 16 AS DOUBLE) FOR j IN range(0,16)]) AS x,
+             unnest([CAST((pk*5 + j*11) %% 16 AS DOUBLE) FOR j IN range(0,16)]) AS y
+           FROM p),
+         srt AS (
+           SELECT poly_id, list(x ORDER BY x, y) AS xs, list(y ORDER BY x, y) AS ys,
+                  CAST(count(*) AS INT) AS m
+           FROM (SELECT DISTINCT poly_id, x, y FROM pts0) GROUP BY 1),
+         step AS (
+           SELECT poly_id, xs, ys, m, 1 AS i, 0 AS t,
+                  CAST([] AS DOUBLE[]) AS hx, CAST([] AS DOUBLE[]) AS hy
+           FROM srt
+           UNION ALL
+           SELECT poly_id, xs, ys, m,
+             CASE WHEN sw THEN m - 1 WHEN pop THEN i WHEN t = 0 THEN i + 1 ELSE i - 1 END,
+             CASE WHEN sw THEN CAST(len(hx) + 1 AS INT) ELSE t END,
+             CASE WHEN sw THEN hx WHEN pop THEN hx[1:len(hx)-1] ELSE list_append(hx, xs[i]) END,
+             CASE WHEN sw THEN hy WHEN pop THEN hy[1:len(hy)-1] ELSE list_append(hy, ys[i]) END
+           FROM (
+             SELECT *, (t = 0 AND i > m) AS sw,
+               ((NOT (t = 0 AND i > m)) AND len(hx) >= (CASE WHEN t = 0 THEN 2 ELSE t END)
+                 AND ((hx[len(hx)] - hx[len(hx)-1]) * (ys[i] - hy[len(hx)-1])
+                    - (hy[len(hx)] - hy[len(hx)-1]) * (xs[i] - hx[len(hx)-1])) <= 0.0::DOUBLE) AS pop
+             FROM step WHERE NOT (t > 0 AND i = 0)) s)
+         SELECT poly_id, CAST(len(hx) - 1 AS INT) AS n_hull,
+           array_to_string([CAST(hx[i] AS INT) || ':' || CAST(hy[i] AS INT)
+                            FOR i IN range(1, len(hx))], ';') AS hull,
+           abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
+                         FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
+         FROM step WHERE t > 0 AND i = 0""",
     "q81_simplify" ->
       """WITH RECURSIVE p AS (
            SELECT CAST(p_partkey AS BIGINT) AS poly_id,

@@ -502,6 +502,49 @@ object RingKernels {
     wv / ws
   }
 
+  /** Convex hull (Andrew's monotone chain) of a point set given as parallel
+    * coordinate arrays: sort by (x, y), dedup exact duplicates, build the
+    * lower then upper chain popping on `cross <= 0` (STRICT hull — collinear
+    * boundary points drop). Returns hull vertices as array<struct<x, y>> in
+    * counter-clockwise order starting at the lexicographically smallest
+    * point. Every decision is a sign test on a 4-term cross product — exact
+    * in IEEE FP whenever coordinates are small integers/dyadics (the q93
+    * fixture), so a recursive-CTE SQL replay walks the identical push/pop
+    * sequence and hash-compares bit-exact. m <= 2 distinct points return
+    * as-is (sorted). */
+  def convexHull(xsA: ArrayData, ysA: ArrayData): ArrayData = {
+    val n = math.min(xsA.numElements(), ysA.numElements())
+    val pts = Array.tabulate(n)(i => (xsA.getDouble(i), ysA.getDouble(i)))
+    val sorted = pts.sorted.distinct
+    val m = sorted.length
+    def row(p: (Double, Double)) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p._1, p._2))
+    if (m <= 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map(p => row(p): Any))
+    @inline def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val h = new Array[(Double, Double)](2 * m)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      while (k >= 2 && cross(h(k - 2), h(k - 1), sorted(i)) <= 0.0) k -= 1
+      h(k) = sorted(i); k += 1
+      i += 1
+    }
+    val t = k + 1
+    i = m - 2
+    while (i >= 0) {
+      while (k >= t && cross(h(k - 2), h(k - 1), sorted(i)) <= 0.0) k -= 1
+      h(k) = sorted(i); k += 1
+      i -= 1
+    }
+    // h(k-1) re-visits h(0): drop the duplicate closing vertex
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      h.iterator.take(k - 1).map(p => row(p): Any).toArray)
+  }
+
   /** Ring perimeter = Σ edge lengths, summed in ASCENDING length order —
     * sqrt() is correctly rounded IEEE on both engines and a sorted
     * sequential fold is bit-reproducible (probed: DuckDB list_sum over
@@ -660,6 +703,113 @@ case class StCentroidExpr(left: Expression, right: Expression)
   override def prettyName: String = "st_centroid"
 }
 
+/**
+ * Great-circle (spherical) kernels for lon/lat inputs — the geodesic twins of
+ * the planar [[RingKernels]] measures. A 100-TB geotagged corpus is lon/lat,
+ * not a projected CRS; the planar kernels stay correct for projected CityGML
+ * fixtures and these cover the un-projected case. All trigonometry is
+ * StrictMath (fdlibm): unlike platform libm, fdlibm results are specified
+ * bit-for-bit, so a driver-side replay in tests reproduces the kernels
+ * exactly on any JVM — the same rule that gates the BM25/TF-IDF ln() paths.
+ * Cross-engine SQL parity is NOT promised (DuckDB trig is platform libm),
+ * hence a g-row + ScalaTest gate instead of a DuckDB oracle.
+ */
+object SphereKernels {
+  /** IUGG mean Earth radius, metres. */
+  val EarthRadiusM: Double = 6371008.8
+
+  /** Haversine great-circle distance in metres between two (lon, lat) points
+    * given in DEGREES. The asin argument is clamped to 1.0: near-antipodal
+    * rounding can push it to 1 + ulp, and NaN out of a distance kernel would
+    * silently poison downstream top-k buffers. */
+  def haversineM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = StrictMath.toRadians(lat1)
+    val p2 = StrictMath.toRadians(lat2)
+    val sp = StrictMath.sin(StrictMath.toRadians(lat2 - lat1) * 0.5)
+    val sl = StrictMath.sin(StrictMath.toRadians(lon2 - lon1) * 0.5)
+    val a = sp * sp + StrictMath.cos(p1) * StrictMath.cos(p2) * sl * sl
+    val root = StrictMath.sqrt(if (a > 1.0) 1.0 else a)
+    2.0 * EarthRadiusM * StrictMath.asin(root)
+  }
+
+  /** OPEN polyline great-circle length in metres over (lon, lat) DEGREE
+    * arrays — the geodesic twin of [[RingKernels.pathLength]], same
+    * ascending-sorted fold so the sum order is canonical regardless of how
+    * the caller assembled equal-length segments. n < 2 → 0. */
+  def pathLengthM(lons: ArrayData, lats: ArrayData): Double = {
+    val n = math.min(lons.numElements(), lats.numElements())
+    if (n < 2) return 0.0
+    val len = new Array[Double](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      len(i) = haversineM(lons.getDouble(i), lats.getDouble(i),
+        lons.getDouble(i + 1), lats.getDouble(i + 1))
+      i += 1
+    }
+    java.util.Arrays.sort(len)
+    var s = 0.0
+    i = 0
+    while (i < n - 1) { s += len(i); i += 1 }
+    s
+  }
+}
+
+/** st_dist_sphere(lon1, lat1, lon2, lat2) → great-circle metres (haversine,
+  * degree inputs); fully codegen ([[SphereKernels.haversineM]]). */
+case class StDistSphereExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SphereKernels.haversineM(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"org.apache.spark.sql.graft.SphereKernels.haversineM($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_dist_sphere"
+}
+
+/** st_path_length_sphere(lons, lats) → OPEN polyline great-circle metres
+  * (sorted-fold sum); fully codegen ([[SphereKernels.pathLengthM]]). */
+case class StPathLengthSphereExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(lons: Any, lats: Any): Any =
+    SphereKernels.pathLengthM(lons.asInstanceOf[ArrayData], lats.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.SphereKernels.pathLengthM($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_path_length_sphere"
+}
+
+/** st_convex_hull(xs, ys) → hull vertices as array<struct<x, y>> in CCW
+  * order starting at the lexicographically smallest point; fully codegen
+  * ([[RingKernels.convexHull]]). */
+case class StConvexHullExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(
+    new StructType().add("x", DoubleType).add("y", DoubleType), containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernels.convexHull(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.RingKernels.convexHull($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_convex_hull"
+}
+
 /** Column-level API + SQL registration. */
 object GeoFunctionsImpl {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -704,6 +854,13 @@ object GeoFunctionsImpl {
     column(IdwFoldExpr(expression(d2s), expression(vs)))
   def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
     column(StDist2RingExpr(expression(xs), expression(ys), expression(px), expression(py)))
+  def st_dist_sphere(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    column(StDistSphereExpr(expression(lon1), expression(lat1),
+      expression(lon2), expression(lat2)))
+  def st_path_length_sphere(lons: Column, lats: Column): Column =
+    column(StPathLengthSphereExpr(expression(lons), expression(lats)))
+  def st_convex_hull(xs: Column, ys: Column): Column =
+    column(StConvexHullExpr(expression(xs), expression(ys)))
   /** Bounded top-k aggregate by (d2, id) — map-side combine (see TopKAgg). */
   def knn_topk(d2: Column, id: Column, k: Int): Column =
     column(KnnTopKAgg(expression(d2), expression(id), k).toAggregateExpression())
@@ -741,6 +898,12 @@ object GeoFunctionsImpl {
       es => IdwFoldExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",
       es => StDist2RingExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("st_dist_sphere",
+      es => StDistSphereExpr(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("st_path_length_sphere",
+      es => StPathLengthSphereExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("st_convex_hull",
+      es => StConvexHullExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hex_ring", es => HexRingExpr(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("knn_topk", KnnTopKAgg.fromSql, "built-in")
     reg.createOrReplaceTempFunction("long_topk", LongTopKAgg.fromSql, "built-in")

@@ -1,0 +1,135 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.{GeoFunctionsImpl, RingKernels, SphereKernels}
+import graft.TestSpark
+
+/**
+ * Geodesic (great-circle) kernels and the convex-hull kernel. The geodesic
+ * gate is ScalaTest-only by design: StrictMath (fdlibm) is bit-specified, so
+ * a driver-side replay must equal the executor codegen path EXACTLY (===),
+ * while a DuckDB row is blocked by platform-libm trig — the same rule that
+ * gates the BM25/TF-IDF ln() kernels. The hull kernel gets its DuckDB
+ * recursive-CTE oracle via q93; here we pin the geometric contract.
+ */
+class GeodesicHullSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val R = SphereKernels.EarthRadiusM
+
+  test("haversine: known values, symmetry, identity, antipodal, clamp") {
+    // one degree of longitude along the equator is exactly R * 1° in radians
+    val oneDeg = SphereKernels.haversineM(0, 0, 1, 0)
+    assert(math.abs(oneDeg - R * StrictMath.toRadians(1)) / oneDeg < 1e-12)
+    // one degree of latitude along a meridian is the same arc
+    assert(math.abs(SphereKernels.haversineM(10, 20, 10, 21) - oneDeg) / oneDeg < 1e-6)
+    // identity and bit-exact symmetry (negation and squaring are exact)
+    assert(SphereKernels.haversineM(11.5, 48.1, 11.5, 48.1) === 0.0)
+    assert(SphereKernels.haversineM(11.5, 48.1, 2.35, 48.85) ===
+      SphereKernels.haversineM(2.35, 48.85, 11.5, 48.1))
+    // antipodal pair = half the great circle, exactly pi * R
+    assert(SphereKernels.haversineM(0, 0, 180, 0) === StrictMath.PI * R)
+    assert(SphereKernels.haversineM(0, -90, 0, 90) === StrictMath.PI * R)
+    // a real pair within sanity bounds: Munich -> Paris ~ 684 km
+    val mucPar = SphereKernels.haversineM(11.5755, 48.1372, 2.3522, 48.8566)
+    assert(mucPar > 650000 && mucPar < 700000, s"got $mucPar")
+  }
+
+  test("st_dist_sphere / st_path_length_sphere codegen == driver StrictMath replay") {
+    val rows = Seq(
+      (1L, 11.5755, 48.1372, 2.3522, 48.8566),
+      (2L, -73.9857, 40.7484, 151.2093, -33.8688),
+      (3L, 0.0, 0.0, 0.0, 0.0),
+      (4L, 179.9, 0.1, -179.9, -0.1))
+    val got = rows.toDF("id", "lon1", "lat1", "lon2", "lat2")
+      .select(col("id"), GeoFunctionsImpl.st_dist_sphere(
+        col("lon1"), col("lat1"), col("lon2"), col("lat2")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, lon1, lat1, lon2, lat2) =>
+      assert(got(id) === SphereKernels.haversineM(lon1, lat1, lon2, lat2),
+        s"row $id must replay bit-exact")
+    }
+    // path over 3 points = ascending-sorted fold of the 2 segment distances
+    val lons = Array(11.5755, 2.3522, -0.1276)
+    val lats = Array(48.1372, 48.8566, 51.5072)
+    val segs = Array(
+      SphereKernels.haversineM(lons(0), lats(0), lons(1), lats(1)),
+      SphereKernels.haversineM(lons(1), lats(1), lons(2), lats(2))).sorted
+    val track = Seq((1L, lons.toSeq, lats.toSeq)).toDF("id", "lons", "lats")
+      .select(GeoFunctionsImpl.st_path_length_sphere(col("lons"), col("lats")).as("m"))
+      .as[Double].head()
+    assert(track === segs(0) + segs(1))
+    // degenerate inputs
+    assert(SphereKernels.pathLengthM(new GenericArrayData(Array[Any](1.0)),
+      new GenericArrayData(Array[Any](1.0))) === 0.0)
+  }
+
+  private def hull(pts: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val a = RingKernels.convexHull(
+      new GenericArrayData(pts.map(_._1: Any).toArray),
+      new GenericArrayData(pts.map(_._2: Any).toArray))
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2); (r.getDouble(0), r.getDouble(1))
+    }
+  }
+
+  test("convex hull: square with interior points -> CCW corners from lexicographic min") {
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+      (2.0, 2.0), (1.0, 3.0), (2.0, 0.0) /* collinear boundary point drops */)
+    assert(hull(pts) === Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)))
+  }
+
+  test("convex hull: degenerate inputs (collinear, duplicates, singletons)") {
+    assert(hull(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0))) ===
+      Seq((0.0, 0.0), (3.0, 3.0)), "collinear set reduces to its endpoints")
+    assert(hull(Seq((2.0, 5.0), (2.0, 5.0), (2.0, 5.0))) === Seq((2.0, 5.0)))
+    assert(hull(Seq((3.0, 1.0))) === Seq((3.0, 1.0)))
+    assert(hull(Seq.empty) === Seq.empty)
+    // duplicates of hull corners must not produce duplicate vertices
+    assert(hull(Seq((0.0, 0.0), (0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 0.0))) ===
+      Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0)))
+  }
+
+  test("convex hull: property check on pseudo-random integer points") {
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    for (seed <- 1 to 40) {
+      val pts = (0 until 24).map { j =>
+        (((seed * 7919 + j * 31) % 101).toDouble, ((seed * 104729 + j * 97) % 89).toDouble)
+      }
+      val h = hull(pts)
+      assert(h.toSet.subsetOf(pts.toSet), "hull vertices come from the input")
+      // strict convexity: every consecutive triple turns left
+      if (h.length >= 3) {
+        for (i <- h.indices)
+          assert(cross(h(i), h((i + 1) % h.length), h((i + 2) % h.length)) > 0,
+            s"seed $seed: hull must be strictly convex CCW")
+        // every input point lies inside or on the hull (left of every edge)
+        for (p <- pts; i <- h.indices)
+          assert(cross(h(i), h((i + 1) % h.length), p) >= 0,
+            s"seed $seed: point $p escapes the hull")
+      }
+      assert(h.head === pts.sorted.min, "hull starts at the lexicographic minimum")
+    }
+  }
+
+  test("st_convex_hull SQL surface and q93 fixture shape") {
+    GeoFunctionsImpl.register(spark)
+    val n = spark.sql(
+      """SELECT size(st_convex_hull(array(0D, 4D, 4D, 0D, 2D), array(0D, 0D, 4D, 4D, 2D)))"""
+    ).head().getInt(0)
+    assert(n === 4)
+    val q93 = graft.SparkEntry.queries("q93_convex_hull")(spark, "/root/testdata/sf0.001")
+    val rows = q93.as[(Long, Int, String, Double)].collect()
+    assert(rows.length === 200)
+    // hull string round-trips the vertex count and the area is a positive
+    // half-integer (integer lattice -> shoelace sum is an integer)
+    rows.foreach { case (id, nh, hs, area) =>
+      assert(hs.split(";").length === nh, s"poly $id")
+      assert(nh >= 3 && area > 0 && (area * 2) === math.rint(area * 2), s"poly $id")
+    }
+  }
+}
