@@ -290,8 +290,10 @@ object SparkEntry {
       // st_dist2_ring kernel scores every (point, ring) pair scan-locally,
       // and min(struct(d2, fid)) picks the closest with a total-order tie
       // break. Per-pair distances carry q75's op-order-exact contract, min
-      // is order-free, sqrt is one op → bit-exact end to end
-      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_dist2_ring
+      // is order-free, sqrt is one op → bit-exact end to end. Routed through
+      // Setback.auto: 100 rings take the broadcast path here; past the
+      // spark.graft.setback.broadcastRingLimit threshold the same call takes
+      // the cell-prefiltered ring search (bit-identical rows — SetbackSpec)
       val pts = withXY(t(s, dir, "events"), "event_id")
         .select(col("event_id"), col("x"), col("y"))
       val polys = t(s, dir, "part").where(col("p_partkey") < 100)
@@ -305,13 +307,7 @@ object SparkEntry {
         .select(col("fid"),
           array(col("minx"), col("maxx"), col("maxx"), col("minx")).as("xs"),
           array(col("miny"), col("miny"), col("maxy"), col("maxy")).as("ys"))
-      pts.crossJoin(broadcast(polys))
-        .select(col("event_id"), col("fid"),
-          st_dist2_ring(col("xs"), col("ys"), col("x"), col("y")).as("d2"))
-        .groupBy("event_id")
-        .agg(min(struct(col("d2"), col("fid"))).as("m"))
-        .select(col("event_id"), col("m.d2").as("d2"),
-          sqrt(col("m.d2")).as("dist"), col("m.fid").as("nearest"))
+      graft.operators.Setback.auto(pts, polys, idCol = "event_id")
     }),
     "q90_idw" -> ((s, dir) => {
       // inverse-distance-weighted interpolation of the event `value` field
