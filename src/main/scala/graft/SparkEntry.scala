@@ -251,6 +251,20 @@ object SparkEntry {
     "q19_lsh_pairs" -> ((s, dir) => {
       graft.operators.Dedup.lshPairs(t(s, dir, "documents"), perms = 4, minJaccard = 0.5)
     }),
+    "q94_weighted_jaccard" -> ((s, dir) => {
+      // IDF-weighted near-dup verify with PLANTED boilerplate: every 7th doc
+      // grows the same site-template tail, so template-only token overlap
+      // exists by construction; integer rarity weights (max(1, N div df))
+      // keep the verify sums exact longs — the wjac division is then
+      // bit-replicable in the DuckDB twin where log-IDF would hit the libm
+      // rule. Content twins keep their score; template overlap weighs ~1/token
+      val boiler = " copyright example corp all rights reserved terms of" +
+        " service privacy policy contact us"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.lshPairsWeighted(docs, minWeightedJaccard = 0.4)
+    }),
     "q86_visit_sequences" -> ((s, dir) => {
       // footprint VISIT segmentation (trajectory × PIP composition): every
       // geotagged ping inside a building footprint, ordered per user by the
@@ -1782,6 +1796,53 @@ object SparkEntry {
                 min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
          FROM sh GROUP BY 1""",
     "q19_lsh_pairs" -> q19Sql,
+    "q94_weighted_jaccard" ->
+      """WITH docs2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id %% 7 = 0 THEN text ||
+               ' copyright example corp all rights reserved terms of service privacy policy contact us'
+             ELSE text END AS text
+           FROM documents),
+         toks AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks,
+                         string_split(lower(text), ' ') AS w FROM docs2),
+         sh AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3),
+         sig AS (
+           SELECT doc_id, min(substr(md5(s), 1, 8)) AS m1, min(substr(md5(s), 9, 8)) AS m2,
+                  min(substr(md5(s), 17, 8)) AS m3, min(substr(md5(s), 25, 8)) AS m4
+           FROM sh GROUP BY 1),
+         bk AS (
+           SELECT doc_id, 0 AS band, m1 AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, m2 FROM sig
+           UNION ALL SELECT doc_id, 2, m3 FROM sig
+           UNION ALL SELECT doc_id, 3, m4 FROM sig),
+         small AS (SELECT band, bucket FROM bk GROUP BY 1, 2 HAVING count(*) <= 100),
+         bks AS (SELECT bk.* FROM bk JOIN small USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bks a JOIN bks b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id),
+         tk AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+         dfw AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+         wt AS (SELECT tok, GREATEST(1, (SELECT count(*) FROM docs2) // df) AS w FROM dfw),
+         ws AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum
+                FROM tk JOIN wt USING (tok) GROUP BY 1),
+         iw AS (SELECT c.doc_a, c.doc_b, CAST(SUM(wt.w) AS BIGINT) AS inter_w
+                FROM cand c
+                JOIN tk ta ON ta.doc_id = c.doc_a
+                JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+                JOIN wt ON wt.tok = ta.tok
+                GROUP BY 1, 2)
+         SELECT iw.doc_a, iw.doc_b,
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jac,
+           CAST(inter_w AS DOUBLE) / CAST(sa.wsum + sb.wsum - inter_w AS DOUBLE) AS wjac
+         FROM iw JOIN toks ta ON ta.doc_id = iw.doc_a
+                 JOIN toks tb ON tb.doc_id = iw.doc_b
+                 JOIN ws sa ON sa.doc_id = iw.doc_a
+                 JOIN ws sb ON sb.doc_id = iw.doc_b
+         WHERE CAST(inter_w AS DOUBLE) / CAST(sa.wsum + sb.wsum - inter_w AS DOUBLE) >= 0.4""",
     "q86_visit_sequences" ->
       s"""WITH pts AS (SELECT event_id, user_id, ts,
                   ${xySql.replace("%ID%", "event_id")}

@@ -96,6 +96,71 @@ object Dedup {
   }
 
   /**
+   * [[lshPairs]] with an IDF-WEIGHTED Jaccard verify — the boilerplate
+   * guard: under plain Jaccard a shared site template ("all rights
+   * reserved …") weighs as much as shared content, so short pages with the
+   * same footer read as near-duplicates. Here each token carries an integer
+   * rarity weight w(t) = max(1, N div df(t)) and the verify scores
+   * Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t): a token on every page weighs 1, a
+   * token on one page in a thousand weighs ~1000, so template-only overlap
+   * collapses toward 0 while content twins keep their score.
+   *
+   * INTEGER weights are deliberate (vs the literature's log-IDF): the
+   * per-pair sums are exact longs — order-free, partitioning-independent,
+   * and replayable in ANSI SQL for the DuckDB hash gate (q94) — where ln()
+   * would hit the cross-engine libm rule that keeps TF-IDF/BM25 (g8/g9)
+   * ScalaTest-gated. The weight is the same 1/df rarity signal, linear
+   * instead of logarithmic; the RANKING effect (boilerplate ≪ content) is
+   * what the verify needs.
+   *
+   * Shuffle shape: candidate generation is [[lshPairs]]'s banded md5-slice
+   * join unchanged (ids only, bucket caps). The weight table is a token-key
+   * aggregation bounded by vocabulary size; per-doc weight maps attach to
+   * candidate PAIRS only (two equi-joins, like the token re-attachment).
+   * The union weight needs no union materialization: Σ_union = wsum_a +
+   * wsum_b − Σ_inter, with per-doc wsum precomputed in the same pass.
+   * `N` is one bounded driver count (the g9 BM25 N/avgdl precedent).
+   * Output: (doc_a, doc_b, jac, wjac) for pairs with wjac ≥ the threshold.
+   */
+  def lshPairsWeighted(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", perms: Int = 4, ngram: Int = 3,
+                       minWeightedJaccard: Double = 0.4,
+                       maxBucket: Int = 100): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val nDocs = toks.count()
+    val wTok = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), greatest(lit(1L),
+        expr(s"CAST($nDocs AS BIGINT) div df")).as("w"))
+    val wtoks = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .join(wTok, Seq("tok"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("w")))).as("wmap"),
+        sum(col("w")).as("wsum"))
+    val sides = toks.join(wtoks, Seq("id"))
+    bandCandidates(md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket)
+      .join(sides.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("wmap").as("wmap_a"), col("wsum").as("wsum_a")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("wsum").as("wsum_b")), Seq("id_b"))
+      .withColumn("inter", array_intersect(col("toks_a"), col("toks_b")))
+      // interpreted HOF is fine HERE: it runs per candidate pair (bounded by
+      // the bucket caps), not per corpus row; sums are exact longs
+      .withColumn("inter_w", aggregate(col("inter"), lit(0L),
+        (acc, t) => acc + element_at(col("wmap_a"), t)))
+      .withColumn("jac",
+        size(col("inter")).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("wjac",
+        col("inter_w").cast("double") /
+          (col("wsum_a") + col("wsum_b") - col("inter_w")).cast("double"))
+      .where(col("wjac") >= minWeightedJaccard)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("jac"), col("wjac"))
+  }
+
+  /**
    * CONTAINMENT pairs — the asymmetric near-dup score for quote/subset
    * detection: |A∩B| / min(|A|, |B|) over distinct token sets, so a short
    * document fully quoted inside a long one scores 1.0 even when its

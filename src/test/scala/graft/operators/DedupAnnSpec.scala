@@ -97,6 +97,40 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lshPairsWeighted: boilerplate-only twins drop, content twins survive") {
+    // 10 content-twin pairs (12 shared content tokens + 3 unique each), every
+    // doc carrying the same 20-token site template: under plain Jaccard a
+    // cross pair scores 18/48 = 0.375 (template-only), under rarity weights
+    // (template df = all docs -> w = 1; content df = 2 -> w = 10) it
+    // collapses to ~0.05 while twins keep ~0.53
+    val boiler = "the terms of service apply all rights reserved copyright" +
+      " example corp contact us at example dot com for more info"
+    val docs = (0 until 10).flatMap { i =>
+      val shared = (1 to 12).map(k => s"c${i}x$k").mkString(" ")
+      Seq((2L * i, s"$shared a${i}p1 a${i}p2 a${i}p3 $boiler"),
+        (2L * i + 1, s"$shared b${i}p1 b${i}p2 b${i}p3 $boiler"))
+    }.toDF("doc_id", "text")
+    val twins = (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet
+    // plain verify at 0.3 admits template-only cross pairs (deterministic
+    // md5 fixture: at least some cross pairs band-collide)
+    val plain = Dedup.lshPairs(docs, minJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(twins.subsetOf(plain))
+    assert((plain -- twins).nonEmpty, "fixture must produce template-only candidates")
+    // weighted verify keeps EXACTLY the content twins
+    val weighted = Dedup.lshPairsWeighted(docs, minWeightedJaccard = 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(weighted.map(r => (r._1, r._2)).toSet === twins)
+    weighted.foreach { case (a, b, jac, wjac) =>
+      assert(wjac > 0.5 && wjac < 0.6, s"($a,$b) wjac=$wjac")
+      assert(jac > wjac, "template tokens inflate the plain score")
+    }
+    // partitioning invariance (exact long sums, order-free)
+    val repart = Dedup.lshPairsWeighted(docs.repartition(7), minWeightedJaccard = 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(repart === weighted.toSet)
+  }
+
   test("banded minhash (16×4): recall follows the 1-(1-j^r)^b S-curve on planted pairs") {
     // planted pairs with EXACT token-set Jaccard (ngram=1 → shingles are the
     // tokens): s shared + d/d distinct per side → J = s/(s+2d); tokens are
