@@ -285,9 +285,21 @@ object AnnSearch {
    * re-rank as in [[pqTopK]]. Output matches the family:
    * (probe_id, idCol, cos, rnk) with rerank, else (probe_id, idCol, d2a, rnk).
    */
+  /** `multiprobe`: per probe, ALSO visit `nprobe` extra lists chosen by the
+    * smallest distance from the query to the BISECTING HYPERPLANE of the
+    * home cell and the candidate cell, (d²(q,cᵢ) − d²(q,c₀)) / (2·‖cᵢ−c₀‖) —
+    * the IVF analogue of query-directed multiprobe LSH (and of
+    * [[graft.operators.Dedup.lshPairsBanded]]'s leave-one-out probes): a
+    * true neighbor displaced across a Voronoi boundary lands in the cell
+    * whose BOUNDARY is nearest, which under anisotropic centroid layouts is
+    * not the cell whose CENTROID is nearest — margin ranking recovers those
+    * cells that raw-d² extension would skip. Zero table-side cost (no
+    * re-encode, no multi-assignment); probe-side candidate volume ≈ 2×, the
+    * standard multiprobe recall/volume trade. */
   def ivfPqTopK(table: DataFrame, probes: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, iters: Int = 5, rerank: Int = 0,
+                multiprobe: Boolean = false,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = table.sparkSession
     import spark.implicits._
@@ -341,11 +353,27 @@ object AnnSearch {
       .as[(Long, Array[Float])]
       .flatMap { case (pid, pv) =>
         val cs = bc.value
-        cs.indices.map { c =>
+        val ds = cs.indices.map { c =>
           var d = 0.0; var i = 0
           while (i < pv.length) { val dx = pv(i) - cs(c)(i); d += dx * dx; i += 1 }
           (pid, pv, c.toLong, d)
-        }.sortBy(t => (t._4, t._3)).take(nprobe)
+        }
+        val base = ds.sortBy(t => (t._4, t._3)).take(nprobe)
+        if (!multiprobe || base.isEmpty) base
+        else {
+          // margin probing: extend with the lists whose Voronoi boundary
+          // (vs the home cell) is nearest to the query — see scaladoc
+          val sel = base.map(_._3).toSet
+          val home = cs(base.head._3.toInt)
+          val d0 = base.head._4
+          val extra = ds.filterNot(t => sel(t._3)).map { case (p, v, cid, d) =>
+            var n2 = 0.0; var i = 0
+            val cc = cs(cid.toInt)
+            while (i < cc.length) { val dx = cc(i) - home(i); n2 += dx * dx; i += 1 }
+            ((p, v, cid, d), (d - d0) / (2.0 * math.sqrt(n2)), cid)
+          }.sortBy(t => (t._2, t._3)).take(nprobe).map(_._1)
+          base ++ extra
+        }
       }.toDF("probe_id", "pvec", "list_id", "cdist")
       .select(col("probe_id"), col("list_id"),
         org.apache.spark.sql.graft.VecFunctionsImpl

@@ -433,6 +433,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("IVF-PQ multiprobe: margin probes beat single-probe recall at equal nprobe") {
+    val table = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val probeRows = table.filter(_._1 % 25 == 0)
+    val probes = probeRows.toDF("probe_id", "pvec")
+    val want = AnnSearch.bruteForce(table, probeRows, 5).map(t => (t._1, t._2))
+    def recall(mp: Boolean) = {
+      val got = AnnSearch.ivfPqTopK(embs, probes, k = 5, nlist = 16, nprobe = 1,
+          m = 8, ksub = 16, rerank = 50, multiprobe = mp)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      want.count(got.contains).toDouble / want.size
+    }
+    val (sp, mp) = (recall(false), recall(true))
+    // with rerank >= k the multiprobe candidate set is a strict superset per
+    // probe (same home lists + margin extras), so recall is monotone; at
+    // nprobe=1 on uniform-random vectors the boundary extras must also
+    // recover a measurable share of cross-boundary neighbors
+    assert(mp >= sp, s"multiprobe recall $mp < single $sp")
+    assert(mp > sp + 0.05, s"margin probes must measurably lift recall: $sp -> $mp")
+    // deterministic
+    assert(recall(true) === mp)
+  }
+
   test("typedParse: reference ClazzUtils sniffing cascade semantics") {
     import graft.functions.TextFunctions.typedParse
     val d = Seq("true", "FALSE", "x", "7", "4711", "123456", "9999999999",

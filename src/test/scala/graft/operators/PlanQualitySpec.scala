@@ -626,9 +626,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("st_simplify_idx") && l.contains("*(")),
       s"st_simplify_idx must sit in a codegen span:\n$plan")
     // thinning must actually bite on narrow rings and keep vertex 0 always
-    val sizes = rows.map(_.getSeq[Int](1).length).toSet
+    // (q81 projects the kept indices as (n_kept, "i,i,..." string) so the
+    // driver's row-sorting comparer can hash them)
+    val sizes = rows.map(_.getInt(1)).toSet
     assert(sizes.contains(6) && sizes.exists(_ < 6), s"eps must bite selectively: $sizes")
-    assert(rows.forall(_.getSeq[Int](1).head == 0), "vertex 0 is always kept")
+    assert(rows.forall(_.getString(2).startsWith("0")), "vertex 0 is always kept")
+    assert(rows.forall(r => r.getString(2).split(",").length == r.getInt(1)),
+      "n_kept must count the projected index string")
     // direct kernel edge cases via SQL registration
     import org.apache.spark.sql.functions._
     graft.functions.GeoFunctions.register(spark)
