@@ -978,6 +978,33 @@ object SparkEntry {
           st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
             lit(11.5755), lit(48.1372)).as("d_landmark_m"))
     }),
+    "q96_kde_heatmap" -> ((s, dir) => {
+      // Epanechnikov kernel-density heatmap over the event stream — the
+      // polynomial kernel keeps the whole surface in plain IEEE arithmetic
+      // (a Gaussian's exp() would hit the libm rule), and the per-cell
+      // ascending-fold sum carries the q73/q80 sorted-fold contract, so
+      // DuckDB's list_sum(list_sort(...)) hash-matches the density doubles
+      val pts = withXY(t(s, dir, "events"), "event_id").select(col("x"), col("y"))
+      graft.operators.Hotspots.kdeGrid(pts, 457840.0, 5439081.0,
+        cell = 1.6, h2 = 2.56)
+    }),
+    "q95_simplify_dp" -> ((s, dir) => {
+      // Douglas-Peucker trajectory/polyline simplification (the compression
+      // pass GPS-track storage runs after q81's radial pre-thin): 12-vertex
+      // zigzag per id on an integer lattice, so every split decision
+      // (cross² > eps²·len², argmax by ascending strictly-greater scan) is
+      // exact and the DuckDB recursive WORK-QUEUE CTE — segments as rows,
+      // one split per iteration — reproduces the identical kept set
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_simplify_dp
+      val pk = col("p_partkey").cast("long")
+      val xs = array((0 until 12).map(j => lit(j.toDouble)): _*)
+      val ys = array((0 until 12).map(j =>
+        ((pk * 7 + lit(j * j * 3)) % 5).cast("double")): _*)
+      t(s, dir, "part").where(col("p_partkey") < 200)
+        .select(pk.as("poly_id"), st_simplify_dp(xs, ys, lit(1.44)).as("kept_idx"))
+        .select(col("poly_id"), size(col("kept_idx")).as("n_kept"),
+          concat_ws(",", col("kept_idx").cast("array<string>")).as("kept"))
+    }),
     "q78_ring_audit" -> ((s, dir) => {
       // ring validity / orientation audit — the geometry-QA gate an ingest
       // pipeline runs before indexing: vertex count, explicit-closure flag,
@@ -2654,6 +2681,53 @@ object SparkEntry {
            abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
                          FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
          FROM step WHERE t > 0 AND i = 0""",
+    "q96_kde_heatmap" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         e AS (SELECT x, y,
+                 CAST(floor((x - 457840.0) / 1.6::DOUBLE) AS BIGINT) + dxs.dx AS cell_x,
+                 CAST(floor((y - 5439081.0) / 1.6::DOUBLE) AS BIGINT) + dys.dy AS cell_y
+               FROM pts, (VALUES (-1),(0),(1)) dxs(dx), (VALUES (-1),(0),(1)) dys(dy)),
+         t2 AS (SELECT cell_x, cell_y,
+                  x - (457840.0 + (CAST(cell_x AS DOUBLE) + 0.5::DOUBLE) * 1.6::DOUBLE) AS ex,
+                  y - (5439081.0 + (CAST(cell_y AS DOUBLE) + 0.5::DOUBLE) * 1.6::DOUBLE) AS ey
+                FROM e),
+         t3 AS (SELECT cell_x, cell_y, ex*ex + ey*ey AS d2 FROM t2
+                WHERE ex*ex + ey*ey < 2.56::DOUBLE)
+         SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_pts,
+                list_sum(list_sort(list(1.0::DOUBLE - d2 / 2.56::DOUBLE))) AS density
+         FROM t3 GROUP BY 1, 2""",
+    "q95_simplify_dp" ->
+      """WITH RECURSIVE p AS (
+           SELECT CAST(p_partkey AS BIGINT) AS poly_id, CAST(p_partkey AS BIGINT) AS pk
+           FROM part WHERE p_partkey < 200),
+         v AS (SELECT poly_id,
+                 [CAST(j AS DOUBLE) FOR j IN range(0, 12)] AS xs,
+                 [CAST((pk*7 + j*j*3) %% 5 AS DOUBLE) FOR j IN range(0, 12)] AS ys
+               FROM p),
+         seg AS (
+           SELECT poly_id, xs, ys, 1 AS i, 12 AS j FROM v
+           UNION ALL
+           SELECT poly_id, xs, ys, a AS i, b AS j
+           FROM (
+             SELECT poly_id, xs, ys,
+               unnest(CASE WHEN mx > 1.44::DOUBLE * len2 THEN [i, kk] ELSE [] END) AS a,
+               unnest(CASE WHEN mx > 1.44::DOUBLE * len2 THEN [kk, j] ELSE [] END) AS b
+             FROM (
+               SELECT *, CAST(i + list_position(cr, list_max(cr)) AS INT) AS kk,
+                      list_max(cr) AS mx
+               FROM (
+                 SELECT *,
+                   [c * c FOR c IN
+                     [(xs[j]-xs[i]) * (ys[m]-ys[i]) - (ys[j]-ys[i]) * (xs[m]-xs[i])
+                      FOR m IN range(i+1, j)]] AS cr,
+                   (xs[j]-xs[i]) * (xs[j]-xs[i]) + (ys[j]-ys[i]) * (ys[j]-ys[i]) AS len2
+                 FROM seg WHERE j > i + 1) s1) s2) s3),
+         kept AS (SELECT DISTINCT poly_id, idx FROM (
+           SELECT poly_id, i AS idx FROM seg UNION ALL SELECT poly_id, j FROM seg) u),
+         g AS (SELECT poly_id, list(idx - 1 ORDER BY idx) AS ks FROM kept GROUP BY 1)
+         SELECT poly_id, CAST(len(ks) AS INT) AS n_kept, array_to_string(ks, ',') AS kept
+         FROM g""",
     "q81_simplify" ->
       """WITH RECURSIVE p AS (
            SELECT CAST(p_partkey AS BIGINT) AS poly_id,

@@ -52,4 +52,50 @@ object Hotspots {
       .select(col("tile_id"), col("c"), col("nbr_sum"),
         ((col("c").cast("double") - mean) / sqrt(variance)).as("z"))
   }
+
+  /**
+   * Kernel-density heatmap surface over a square grid (Epanechnikov kernel
+   * — the POLYNOMIAL kernel, chosen over Gaussian deliberately: no exp(), so
+   * every per-point term is plain IEEE arithmetic and the whole surface is
+   * exactly replayable in ANSI SQL, where a Gaussian would hit the
+   * cross-engine libm rule). Per grid cell with center c:
+   * density(c) = Σ_{points p, |p−c|² < h²} (1 − |p−c|²/h²).
+   *
+   * Shuffle shape for 10^12 points: each point explodes to its 3×3 cell
+   * neighborhood SCAN-LOCALLY (9 rows, guaranteed to cover the kernel
+   * support while √h2 ≤ cell — `require`d), then ONE groupBy on the cell
+   * key; everything else is per-cell arithmetic on the #cells-sized table.
+   * The per-cell sum folds the term list in ASCENDING order (the q73/q80
+   * sorted-fold contract), so the summed doubles are partitioning-invariant
+   * AND bit-equal to DuckDB's `list_sum(list_sort(...))` left fold — q96
+   * hash-gates the whole surface. `h2` is h² passed directly (computing h·h
+   * on one side and writing a literal on the other can differ by 1 ulp).
+   *
+   * Output: (cell_x, cell_y, n_pts, density) for cells with ≥ 1 in-range
+   * point. Interpreted-HOF fold is per CELL (thousands), not per point.
+   */
+  def kdeGrid(points: DataFrame, x0: Double, y0: Double,
+              cell: Double, h2: Double): DataFrame = {
+    require(h2 <= cell * cell,
+      s"kernel support sqrt($h2) must fit the 3x3 neighborhood (cell $cell)")
+    val offs = array(lit(-1L), lit(0L), lit(1L))
+    val ctrX = lit(x0) + (col("cell_x").cast("double") + lit(0.5)) * lit(cell)
+    val ctrY = lit(y0) + (col("cell_y").cast("double") + lit(0.5)) * lit(cell)
+    points
+      .select(col("x"), col("y"),
+        floor((col("x") - lit(x0)) / lit(cell)).cast("long").as("px"),
+        floor((col("y") - lit(y0)) / lit(cell)).cast("long").as("py"))
+      .withColumn("dx", explode(offs))
+      .withColumn("dy", explode(offs))
+      .select(col("x"), col("y"),
+        (col("px") + col("dx")).as("cell_x"), (col("py") + col("dy")).as("cell_y"))
+      .withColumn("d2",
+        (col("x") - ctrX) * (col("x") - ctrX) + (col("y") - ctrY) * (col("y") - ctrY))
+      .where(col("d2") < lit(h2))
+      .withColumn("term", lit(1.0) - col("d2") / lit(h2))
+      .groupBy("cell_x", "cell_y")
+      .agg(count(lit(1)).as("n_pts"),
+        aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (acc, t) => acc + t).as("density"))
+  }
 }

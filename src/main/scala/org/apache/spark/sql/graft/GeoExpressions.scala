@@ -456,6 +456,51 @@ object RingKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(kept.toArray)
   }
 
+  /** Douglas-Peucker polyline simplification returning kept 0-based vertex
+    * indices: keep both endpoints; per segment, find the interior vertex
+    * with the maximum perpendicular distance to the chord (ascending scan,
+    * STRICTLY-greater updates → smallest index wins ties) and split there
+    * when it exceeds `eps` — decided as cross² > eps²·len², so on integer
+    * coordinates every comparison is exact (cross and len² are exact
+    * integer-valued doubles; eps²·len² is ONE correctly-rounded op on
+    * identical operands in both engines) and a recursive-CTE work-queue
+    * replay (q95) walks the identical split set. `eps2` = eps². OPEN
+    * polylines only: a closed ring (first == last) has cross ≡ 0 against
+    * its degenerate chord and collapses to its endpoints — split closed
+    * rings or radial-thin (q81) first. n <= 2 keeps everything. */
+  def simplifyDpIdx(xs: ArrayData, ys: ArrayData, eps2: Double): ArrayData = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    var stack = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (i, j) = stack.head
+      stack = stack.tail
+      if (j > i + 1) {
+        val dx = xs.getDouble(j) - xs.getDouble(i)
+        val dy = ys.getDouble(j) - ys.getDouble(i)
+        val len2 = dx * dx + dy * dy
+        var best = -1
+        var bestC2 = -1.0
+        var m = i + 1
+        while (m < j) {
+          val cr = dx * (ys.getDouble(m) - ys.getDouble(i)) -
+            dy * (xs.getDouble(m) - xs.getDouble(i))
+          val c2 = cr * cr
+          if (c2 > bestC2) { bestC2 = c2; best = m }
+          m += 1
+        }
+        if (bestC2 > eps2 * len2) {
+          keep(best) = true
+          stack = (i, best) :: (best, j) :: stack
+        }
+      }
+    }
+    val kept = (0 until n).filter(keep).map(i => i: Any).toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(kept)
+  }
+
   /** OPEN polyline length = Σ consecutive-point distances (no closing
     * edge), summed in ASCENDING length order — the trajectory twin of
     * [[perimeter]], same bit-reproducibility recipe: each edge is single
@@ -623,6 +668,26 @@ case class StSimplifyIdxExpr(first: Expression, second: Expression, third: Expre
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "st_simplify_idx"
+}
+
+/** st_simplify_dp(xs, ys, eps2) → kept 0-based vertex indices under
+  * Douglas-Peucker simplification; fully codegen
+  * ([[RingKernels.simplifyDpIdx]]). */
+case class StSimplifyDpExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+  override def nullSafeEval(xs: Any, ys: Any, e2: Any): Any =
+    RingKernels.simplifyDpIdx(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
+      e2.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"org.apache.spark.sql.graft.RingKernels.simplifyDpIdx($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_simplify_dp"
 }
 
 /** idw_fold(d2s, vs) → inverse-distance-weighted estimate over pre-ordered
@@ -850,6 +915,8 @@ object GeoFunctionsImpl {
     column(StPathLengthExpr(expression(xs), expression(ys)))
   def st_simplify_idx(xs: Column, ys: Column, eps2: Column): Column =
     column(StSimplifyIdxExpr(expression(xs), expression(ys), expression(eps2)))
+  def st_simplify_dp(xs: Column, ys: Column, eps2: Column): Column =
+    column(StSimplifyDpExpr(expression(xs), expression(ys), expression(eps2)))
   def idw_fold(d2s: Column, vs: Column): Column =
     column(IdwFoldExpr(expression(d2s), expression(vs)))
   def st_dist2_ring(xs: Column, ys: Column, px: Column, py: Column): Column =
@@ -894,6 +961,8 @@ object GeoFunctionsImpl {
       es => StPathLengthExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_simplify_idx",
       es => StSimplifyIdxExpr(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("st_simplify_dp",
+      es => StSimplifyDpExpr(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("idw_fold",
       es => IdwFoldExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("st_dist2_ring",

@@ -116,6 +116,41 @@ class GeodesicHullSpec extends AnyFunSuite {
     }
   }
 
+  private def dp(xs: Seq[Double], ys: Seq[Double], eps2: Double): Seq[Int] = {
+    val a = RingKernels.simplifyDpIdx(
+      new GenericArrayData(xs.map(x => x: Any).toArray),
+      new GenericArrayData(ys.map(y => y: Any).toArray), eps2)
+    (0 until a.numElements()).map(a.getInt)
+  }
+
+  test("Douglas-Peucker: spike kept, straight runs dropped, endpoints always kept") {
+    // spike at index 2 (perp 3 > eps 1) splits; the flat flanks collapse
+    assert(dp(Seq(0, 1, 2, 3, 4), Seq(0, 0, 3, 0, 0), eps2 = 1.0) === Seq(0, 2, 4))
+    // perfectly straight: endpoints only
+    assert(dp((0 to 9).map(_.toDouble), (0 to 9).map(_ * 2.0), eps2 = 0.25) === Seq(0, 9))
+    // everything significant at tiny eps: all vertices kept
+    assert(dp(Seq(0, 1, 2, 3), Seq(0, 2, -2, 0), eps2 = 0.0001) === Seq(0, 1, 2, 3))
+    // degenerate sizes
+    assert(dp(Seq(5.0), Seq(5.0), 1.0) === Seq(0))
+    assert(dp(Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0) === Seq(0, 1))
+    assert(dp(Seq.empty, Seq.empty, 1.0) === Seq.empty)
+    // closed ring contract: first == last -> degenerate chord, collapses
+    assert(dp(Seq(0, 2, 2, 0, 0), Seq(0, 0, 2, 2, 0), eps2 = 1.0) === Seq(0, 4))
+  }
+
+  test("Douglas-Peucker SQL surface; radial pre-thin (q81) keeps a superset context") {
+    GeoFunctionsImpl.register(spark)
+    val kept = spark.sql(
+      """SELECT st_simplify_dp(array(0D, 1D, 2D, 3D, 4D),
+                               array(0D, 0D, 3D, 0D, 0D), 1.0D) AS k""")
+      .head().getSeq[Int](0)
+    assert(kept === Seq(0, 2, 4))
+    // q95 fixture: eps bites selectively across ids (the oracle's variety)
+    val q95 = graft.SparkEntry.queries("q95_simplify_dp")(spark, "/root/testdata/sf0.001")
+    val sizes = q95.as[(Long, Int, String)].collect().map(_._2).toSet
+    assert(sizes.size > 1 && sizes.forall(n => n >= 2 && n <= 12), s"sizes $sizes")
+  }
+
   test("st_convex_hull SQL surface and q93 fixture shape") {
     GeoFunctionsImpl.register(spark)
     val n = spark.sql(

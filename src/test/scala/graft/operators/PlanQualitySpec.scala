@@ -618,6 +618,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("KDE heatmap (q96): one cell-key shuffle; density == hand fold; partition-invariant") {
+    val q = graft.SparkEntry.queries("q96_kde_heatmap")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the 9-way neighborhood explode and the kernel filter are scan-local;
+    // the ONLY wide op is the per-cell aggregation
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"KDE must shuffle once, on the cell key:\n$plan")
+    val rows = q.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // hand oracle on the same fixture: brute-force all (point, cell) terms
+    val pts = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id")).as[Long].collect()
+      .map { id =>
+        (457840.0 + ((id * 7919) % 1600).toDouble * 0.01,
+          5439081.0 + ((id * 104729) % 1400).toDouble * 0.01)
+      }
+    val want = pts.flatMap { case (x, y) =>
+      val px = math.floor((x - 457840.0) / 1.6).toLong
+      val py = math.floor((y - 5439081.0) / 1.6).toLong
+      for (dx <- -1L to 1L; dy <- -1L to 1L) yield {
+        val cx = px + dx; val cy = py + dy
+        val ex = x - (457840.0 + (cx.toDouble + 0.5) * 1.6)
+        val ey = y - (5439081.0 + (cy.toDouble + 0.5) * 1.6)
+        ((cx, cy), ex * ex + ey * ey)
+      }
+    }.filter(_._2 < 2.56).groupBy(_._1)
+      .map { case (c, ts) =>
+        (c, ts.length.toLong, ts.map(t => 1.0 - t._2 / 2.56).sorted.sum)
+      }.toSet
+    assert(rows.map(r => ((r._1, r._2), r._3, r._4)).toSet === want,
+      "density surface must equal the ascending-fold hand oracle bit-exactly")
+    // partitioning must not move the fold result (sorted-fold contract)
+    val re = graft.operators.Hotspots.kdeGrid(
+      spark.read.parquet(s"$sf/events.parquet")
+        .select(col("event_id"),
+          (lit(457840.0) + ((col("event_id") * 7919L) % 1600L).cast("double") * 0.01).as("x"),
+          (lit(5439081.0) + ((col("event_id") * 104729L) % 1400L).cast("double") * 0.01).as("y"))
+        .repartition(13), 457840.0, 5439081.0, 1.6, 2.56)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(re === rows.toSet)
+  }
+
   test("simplify (q81): scan-local codegen walk; kernel semantics on edge cases") {
     val q = graft.SparkEntry.queries("q81_simplify")(spark, sf)
     val rows = q.collect()
