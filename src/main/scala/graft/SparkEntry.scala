@@ -978,6 +978,48 @@ object SparkEntry {
           st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
             lit(11.5755), lit(48.1372)).as("d_landmark_m"))
     }),
+    "q97_od_flows" -> ((s, dir) => {
+      // origin→destination flow matrix between footprints: q86's visit
+      // starts, then each consecutive visit pair per user is one trip. Both
+      // lags share the entity-key window partitioning, so the per-user
+      // ordering shuffles ONCE; the final aggregate runs on the
+      // #footprints²-bounded OD table
+      import org.apache.spark.sql.expressions.Window
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"), col("x"), col("y"))
+      val polys = gridSquares(0L until 100L)
+      val hits = PipJoin.auto(pts, polys, res = 12)
+        .select(col("user_id"), col("ts"), col("event_id"), col("feature_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      hits.withColumn("prev", lag(col("feature_id"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("feature_id"))
+        .withColumn("from_fid", lag(col("feature_id"), 1).over(w))
+        .where(col("from_fid").isNotNull)
+        .groupBy(col("from_fid"), col("feature_id").as("to_fid"))
+        .agg(count(lit(1)).as("trips"))
+    }),
+    "q98_tile_pyramid" -> ((s, dir) => {
+      // tile-pyramid density rollup (the overview-level build a tile server
+      // runs): base-zoom counts roll up 4 pyramid levels with PURE ID
+      // ARITHMETIC — parent = (z−l)<<58 | (x>>l)<<29 | (y>>l); the points
+      // shuffle once at the base zoom, every level above is derived on the
+      // #tiles-sized count table (explode + re-aggregate), no floating
+      // point above the base. All shifts/masks are literals → codegen
+      val z = 26
+      val pts = withXY(t(s, dir, "events"), "event_id")
+      val base = pts.select(graft.functions.GeoFunctions.tile_of(
+          col("x"), col("y"), lit(z)).as("tid"))
+        .groupBy("tid").agg(count(lit(1)).as("c"))
+      val lvls = (0 to 3).map { l =>
+        struct(lit(l).as("lvl"),
+          expr(s"${(z - l).toLong << 58}L + " +
+            s"shiftleft(shiftright(tid, ${29 + l}) & ${((1L << 29) - 1) >> l}L, 29) + " +
+            s"shiftright(tid & ${(1L << 29) - 1}L, $l)").as("ptid"))
+      }
+      base.select(explode(array(lvls: _*)).as("e"), col("c"))
+        .groupBy(col("e.lvl").as("lvl"), col("e.ptid").as("tile_id"))
+        .agg(sum(col("c")).as("n_points"))
+    }),
     "q96_kde_heatmap" -> ((s, dir) => {
       // Epanechnikov kernel-density heatmap over the event stream — the
       // polynomial kernel keeps the whole surface in plain IEEE arithmetic
@@ -2681,6 +2723,43 @@ object SparkEntry {
            abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
                          FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
          FROM step WHERE t > 0 AND i = 0""",
+    "q97_od_flows" ->
+      s"""WITH pts AS (SELECT event_id, user_id, ts,
+                  ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         polys AS (
+           SELECT p_partkey AS pid,
+                  457840.0 + (CAST(p_partkey %% 10 AS DOUBLE) * 1.6) + 0.205 AS minx,
+                  5439081.0 + (CAST(p_partkey // 10 AS DOUBLE) * 1.4) + 0.105 AS miny
+           FROM part WHERE p_partkey < 100),
+         hits AS (SELECT user_id, ts, event_id, 'b' || pid AS feature_id
+                  FROM pts JOIN polys
+                    ON x >= minx AND x <= minx + 1.19 AND y >= miny AND y <= miny + 1.19),
+         lagd AS (SELECT user_id, ts, event_id, feature_id,
+                    lag(feature_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM hits),
+         st AS (SELECT * FROM lagd WHERE prev IS NULL OR prev <> feature_id),
+         od AS (SELECT user_id, feature_id,
+                  lag(feature_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_fid
+                FROM st)
+         SELECT from_fid, feature_id AS to_fid, CAST(count(*) AS BIGINT) AS trips
+         FROM od WHERE from_fid IS NOT NULL GROUP BY 1, 2""",
+    "q98_tile_pyramid" ->
+      s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         base AS (
+           SELECT 7493989779944505344 +
+                  CAST(floor(x / 33554432.0 * 67108864) AS BIGINT) * 536870912 +
+                  (67108863 - CAST(floor(y / 33554432.0 * 67108864) AS BIGINT)) AS tid,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM pts GROUP BY 1),
+         lv AS (SELECT l.lvl, c,
+                  ((26 - l.lvl)::BIGINT << 58) +
+                  (((tid >> (29 + l.lvl)) & (536870911 >> l.lvl)) << 29) +
+                  ((tid & 536870911) >> l.lvl) AS tile_id
+                FROM base, (VALUES (0),(1),(2),(3)) l(lvl))
+         SELECT lvl, tile_id, CAST(sum(c) AS BIGINT) AS n_points
+         FROM lv GROUP BY 1, 2""",
     "q96_kde_heatmap" ->
       s"""WITH pts AS (SELECT event_id, ${xySql.replace("%ID%", "event_id")}
            FROM events),

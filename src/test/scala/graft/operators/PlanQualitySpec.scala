@@ -618,6 +618,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
   }
 
+  test("tile pyramid (q98): points scanned once, levels derived by id arithmetic; mass conserved") {
+    val q = graft.SparkEntry.queries("q98_tile_pyramid")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(l => l.contains("Scan parquet") ||
+      l.contains("FileScan parquet"))
+    assert(scans == 1, s"the points must be scanned once, at the base zoom:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"base count + level re-aggregate are the only shuffles:\n$plan")
+    val rows = q.as[(Int, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    val perLevel = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perLevel === Map(0 -> total, 1 -> total, 2 -> total, 3 -> total),
+      "every pyramid level must conserve the point mass")
+    // coarser levels have no more tiles than finer ones
+    val tilesPer = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert((0 to 2).forall(l => tilesPer(l) >= tilesPer(l + 1)))
+    // each level's ids decode to that zoom
+    assert(rows.forall { case (l, tid, _) => (tid >>> 58).toInt == 26 - l })
+  }
+
+  test("OD flows (q97): trips == visits minus one per active user") {
+    val flows = graft.SparkEntry.queries("q97_od_flows")(spark, sf)
+      .as[(String, String, Long)].collect()
+    val visits = graft.SparkEntry.queries("q86_visit_sequences")(spark, sf)
+      .select("user_id").as[Long].collect()
+    val expected = visits.groupBy(identity).values.map(_.length - 1L).sum
+    assert(flows.map(_._3).sum === expected,
+      "every consecutive visit pair is exactly one trip")
+    assert(flows.nonEmpty && flows.forall(_._3 > 0))
+  }
+
   test("KDE heatmap (q96): one cell-key shuffle; density == hand fold; partition-invariant") {
     val q = graft.SparkEntry.queries("q96_kde_heatmap")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
