@@ -370,7 +370,12 @@ object AnnSearch {
             var n2 = 0.0; var i = 0
             val cc = cs(cid.toInt)
             while (i < cc.length) { val dx = cc(i) - home(i); n2 += dx * dx; i += 1 }
-            ((p, v, cid, d), (d - d0) / (2.0 * math.sqrt(n2)), cid)
+            // duplicate centroid (k-means can emit one when nlist exceeds
+            // distinct vectors): boundary distance is 0, not 0/0 = NaN —
+            // NaN would sort LAST and silently skip the list that should
+            // rank first among the extras
+            val margin = if (n2 == 0.0) 0.0 else (d - d0) / (2.0 * math.sqrt(n2))
+            ((p, v, cid, d), margin, cid)
           }.sortBy(t => (t._2, t._3)).take(nprobe).map(_._1)
           base ++ extra
         }

@@ -126,9 +126,16 @@ object Dedup {
                        textCol: String = "text", perms: Int = 4, ngram: Int = 3,
                        minWeightedJaccard: Double = 0.4,
                        maxBucket: Int = 100): DataFrame = {
+    // tokenize + distinct ONCE: four consumers read this lineage (the N
+    // count, the df aggregation, the weight maps, the pair verify joins) —
+    // uncached, each would re-scan and re-tokenize the corpus. Persisted,
+    // not checkpointed: the returned plan references it lazily, so it lives
+    // until session LRU eviction or a caller unpersist (the MLlib-style
+    // contract for a multi-consumer derived table). The shingle pass in
+    // md5SliceBuckets is a genuinely different derivation and stays separate.
     val toks = docs.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
-    val nDocs = toks.count()
+      array_distinct(tokens(col(textCol))).as("toks")).persist()
+    val nDocs = toks.count() // also materializes the cache
     val wTok = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), greatest(lit(1L),

@@ -77,7 +77,8 @@ object Hotspots {
   def kdeGrid(points: DataFrame, x0: Double, y0: Double,
               cell: Double, h2: Double): DataFrame = {
     require(h2 <= cell * cell,
-      s"kernel support sqrt($h2) must fit the 3x3 neighborhood (cell $cell)")
+      s"kernel radius ${math.sqrt(h2)} (h2 $h2) exceeds the cell size $cell — " +
+        "the 3x3 neighborhood would miss in-range points")
     val offs = array(lit(-1L), lit(0L), lit(1L))
     val ctrX = lit(x0) + (col("cell_x").cast("double") + lit(0.5)) * lit(cell)
     val ctrY = lit(y0) + (col("cell_y").cast("double") + lit(0.5)) * lit(cell)

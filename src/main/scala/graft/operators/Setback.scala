@@ -116,8 +116,13 @@ object Setback {
       }
       val all =
         if (nPending > 0)
+          // fall back against the ORIGINAL ring table, not the cell-exploded
+          // `t` — the exploded form scores each (point, ring) pair once per
+          // covered cell (identical d2 rows, collapsed by the min, but
+          // cover-size× wasted kernel work)
           doneParts.foldLeft(
-            ck(best(acc.unionByName(candOf(pending.crossJoin(t))))))(_ unionByName _)
+            ck(best(acc.unionByName(candOf(pending.crossJoin(
+              rings.select(col("fid"), col("xs"), col("ys"))))))))(_ unionByName _)
         else doneParts.reduce(_ unionByName _)
       finish(idCol, all)
     } finally t.unpersist(blocking = false)

@@ -27,8 +27,15 @@ final class TopKBuffer(val k: Int) {
   val d2s: Array[Double] = new Array[Double](k)
   val ids: Array[UTF8String] = new Array[UTF8String](k)
 
-  private def beats(d: Double, id: UTF8String, i: Int): Boolean =
-    d < d2s(i) || (d == d2s(i) && id.compareTo(ids(i)) < 0)
+  // Spark's SQL double ordering (SQLOrderingUtil.compareDoubles): == first
+  // so -0.0 ties 0.0 (tie-break falls to id ASC, like the window's ORDER
+  // BY), then Double.compare so NaN orders greater-than-all instead of
+  // poisoning the sorted buffer (raw </== leave NaN un-orderable: it would
+  // neither shift nor be evicted)
+  private def beats(d: Double, id: UTF8String, i: Int): Boolean = {
+    val c = if (d == d2s(i)) 0 else java.lang.Double.compare(d, d2s(i))
+    c < 0 || (c == 0 && id.compareTo(ids(i)) < 0)
+  }
 
   def insert(d: Double, id0: UTF8String): Unit = {
     if (n == k && !beats(d, id0, k - 1)) return
@@ -260,12 +267,13 @@ final class TopKByBuffer(val k: Int, val keyOrd: Ordering[Any]) {
   val keys: Array[Any] = new Array[Any](k)
   val payloads: Array[Any] = new Array[Any](k)
 
-  // java.lang.Double.compare, not raw >/==: NaN is unordered under primitive
-  // comparison, so a NaN entry could neither displace nor be displaced —
-  // diverging from the row_number() window twin, whose ORDER BY total order
-  // ranks NaN above every double (quantile grids and idw can emit NaN scores)
+  // Spark's SQL double ordering (SQLOrderingUtil.compareDoubles): the == test
+  // first makes -0.0 tie 0.0 (tie-break falls to the key, like the window's
+  // ORDER BY), then Double.compare ranks NaN above every double — raw >/==
+  // left NaN un-orderable (it could neither displace nor be displaced;
+  // quantile grids and idw can emit NaN scores)
   private def beats(s: Double, key: Any, i: Int): Boolean = {
-    val c = java.lang.Double.compare(s, scores(i))
+    val c = if (s == scores(i)) 0 else java.lang.Double.compare(s, scores(i))
     c > 0 || (c == 0 && keyOrd.compare(key, keys(i)) < 0)
   }
 

@@ -71,6 +71,27 @@ class TopKBySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("-0.0 ties 0.0 (key tie-break), matching SQL double ordering; knn_topk NaN-safe") {
+    // SQLOrderingUtil.compareDoubles checks == first, so -0.0 == 0.0 and the
+    // tie breaks by key ASC — raw Double.compare would rank 0.0 above -0.0
+    val zs = Seq((0L, "a", -0.0), (0L, "b", 0.0)).toDF("grp", "key", "score")
+    val top1 = zs.groupBy("grp")
+      .agg(GeoFunctionsImpl.topk_by(col("score"), col("key"), 1).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.key"))
+      .as[String].head()
+    assert(top1 === "a", "-0.0 and 0.0 must tie; key ASC keeps 'a'")
+    // knn_topk: a NaN distance must rank LAST (ascending), not poison the
+    // buffer's shift/evict ordering
+    val rows = Seq((1L, "t_nan", Double.NaN), (1L, "t_far", 1.0), (1L, "t_near", 0.5))
+      .toDF("probe", "tid", "d2").repartition(3)
+    val got = rows.groupBy("probe")
+      .agg(GeoFunctionsImpl.knn_topk(col("d2"), col("tid"), 2).as("nn"))
+      .select(explode(col("nn")).as("m"))
+      .select(col("m.target_id"), col("m.rnk")).as[(String, Int)].collect().toSet
+    assert(got === Set(("t_near", 1), ("t_far", 2)),
+      "window twin keeps the two finite distances; NaN sorts last")
+  }
+
   test("payload-free 3-arg form and SQL surface agree with the window") {
     val want = windowTwin(2).map { case (g, key, s, _, _, r) => (g, key, s, r) }
     val got = cands.groupBy("grp")
