@@ -214,6 +214,32 @@ class StreamSpec extends AnyFunSuite {
     assert(sample.exists(_.getSeq[String](4).exists(_.length > 1)), "BPE merges must fire")
   }
 
+  test("streaming KDE surface (complete mode) == batch kdeGrid bit-exactly") {
+    // the live-heatmap shape: the scan-local 9-way neighborhood explode and
+    // kernel filter run per micro-batch; the per-cell state accumulates in
+    // the streaming aggregation and complete mode re-emits the surface.
+    // The ascending-fold density is computed on the FINAL collected list, so
+    // after the full replay it must equal the batch surface bit-for-bit
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Hotspots.kdeGrid(
+        df.select(
+          (lit(457840.0) + ((col("event_id") * 7919L) % 1600L).cast("double") * 0.01).as("x"),
+          (lit(5439081.0) + ((col("event_id") * 104729L) % 1400L).cast("double") * 0.01).as("y")),
+        457840.0, 5439081.0, cell = 1.6, h2 = 2.56)
+    val src = spark.readStream.schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = stage(src).writeStream
+      .format("memory").queryName("kde_stream").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kde_stream")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = stage(spark.read.parquet(streamDir))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want, "replayed density surface must equal the batch one")
+    assert(want.nonEmpty)
+  }
+
   test("sketch aggregates are streaming-safe: MG + KLL guarantees hold in complete mode") {
     // the TypedImperativeAggregates maintain their buffers incrementally in
     // the streaming state store; the result after the replay must be a LEGAL
