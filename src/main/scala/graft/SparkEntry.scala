@@ -978,6 +978,25 @@ object SparkEntry {
           st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
             lit(11.5755), lit(48.1372)).as("d_landmark_m"))
     }),
+    "q99_url_canon" -> ((s, dir) => {
+      // URL canonicalization + dedup — the crawl-side dedup key computed
+      // BEFORE any content dedup: the same page arrives with tracking
+      // params, fragments, shuffled query order and trailing slashes; three
+      // synthetic variants per doc collapse to one canonical URL. Entirely
+      // scan-local (regex + array built-ins) + one groupBy on the canon key
+      val d = col("doc_id")
+      val q = expr("(doc_id div 10) % 2").cast("string")
+      val url = concat(lit("HTTPS://Src"), (d % 2).cast("string"),
+        lit(".Example.COM/Page/"), expr("(doc_id div 2) % 5").cast("string"),
+        when(d % 3 === 0, concat(lit("?utm_source=feed&q="), q, lit("#frag")))
+          .when(d % 3 === 1, concat(lit("/?q="), q, lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?q="), q, lit("#sec"))))
+      t(s, dir, "documents").select(d.as("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.canonicalUrl(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+    }),
     "q97_od_flows" -> ((s, dir) => {
       // origin→destination flow matrix between footprints: q86's visit
       // starts, then each consecutive visit pair per user is one trip. Both
@@ -2723,6 +2742,34 @@ object SparkEntry {
            abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
                          FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
          FROM step WHERE t > 0 AND i = 0""",
+    "q99_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTPS://Src' || (doc_id %% 2) || '.Example.COM/Page/' || ((doc_id // 2) %% 5) ||
+             CASE doc_id %% 3
+               WHEN 0 THEN '?utm_source=feed&q=' || ((doc_id // 10) %% 2) || '#frag'
+               WHEN 1 THEN '/?q=' || ((doc_id // 10) %% 2) || '&utm_campaign=x'
+               ELSE '?q=' || ((doc_id // 10) %% 2) || '#sec' END AS url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+         parts AS (SELECT doc_id,
+             lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+             regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)', 1) AS rawpath,
+             regexp_extract(nofrag, '\?(.*)$', 1) AS query0
+           FROM nf),
+         canon AS (SELECT doc_id,
+             scheme || '://' || host ||
+             (CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                   ELSE regexp_replace(rawpath, '/+$', '') END) ||
+             (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+           FROM (SELECT *, array_to_string(list_sort(
+                   list_filter(string_split(query0, '&'),
+                     p -> len(p) > 0 AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&') AS q
+                 FROM parts))
+         SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups,
+                CAST(min(doc_id) AS BIGINT) AS keeper
+         FROM canon GROUP BY 1""",
     "q97_od_flows" ->
       s"""WITH pts AS (SELECT event_id, user_id, ts,
                   ${xySql.replace("%ID%", "event_id")}

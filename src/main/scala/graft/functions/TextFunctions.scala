@@ -165,6 +165,35 @@ object TextFunctions {
       regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
       "^www\\.", "")
 
+  /**
+   * URL canonicalization — the dedup key a web-crawl pipeline groups on
+   * before content dedup ever runs (the same page arrives under
+   * `HTTPS://Site/a?utm_source=x&q=1#top` and `https://site/a?q=1`):
+   *  - scheme and host lowercase (path/query case is significant, RFC 3986);
+   *  - fragment dropped;
+   *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`);
+   *  - remaining query parameters SORTED (param order is non-semantic for
+   *    the overwhelming majority of pages; the standard crawl-dedup choice);
+   *  - trailing path slashes trimmed, empty path normalized to `/`.
+   * Composed from scan-local built-ins (regexp splits + array_sort/
+   * array_join; the HOF filter runs per URL over a handful of params).
+   * Regex constructs restricted to Java/RE2-identical semantics like
+   * [[hostOf]], so the DuckDB twin replays byte-for-byte (q99).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val rawPath = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val params = filter(split(regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_|fbclid|gclid)"))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** Normalized-content fingerprint (md5 over lowercased, space-collapsed text). */
   def fingerprint(textCol: Column): Column =
     substring(md5(regexp_replace(lower(textCol), "\\s+", " ").cast("binary")), 1, 16)

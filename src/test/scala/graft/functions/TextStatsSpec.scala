@@ -15,6 +15,36 @@ class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("canonicalUrl: case/fragment/tracking/param-order/trailing-slash all normalize") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved, fragment dropped
+      ("HTTPS://Ex.COM/Path/A#frag", "https://ex.com/Path/A"),
+      // tracking params removed, survivors sorted
+      ("https://ex.com/a?z=1&utm_source=f&a=2&fbclid=xyz", "https://ex.com/a?a=2&z=1"),
+      // gclid dropped; all-tracking query disappears entirely
+      ("https://ex.com/a?gclid=1&utm_campaign=x", "https://ex.com/a"),
+      // trailing slashes trim; bare host normalizes to '/'
+      ("http://Ex.com/dir///", "http://ex.com/dir"),
+      ("http://ex.com", "http://ex.com/"),
+      ("http://ex.com/?q=1", "http://ex.com/?q=1"),
+      // port and userinfo stay part of the (lowercased) authority
+      ("https://User@Ex.com:8443/P?b=2&a=1", "https://user@ex.com:8443/P?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.TextFunctions.canonicalUrl(col("url")))
+      .as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, s"input $in") }
+    // equivalence classes: the three q99 variants collapse
+    val variants = Seq(
+      "HTTPS://Src1.Example.COM/Page/3?utm_source=feed&q=1#frag",
+      "https://src1.example.com/Page/3/?q=1&utm_campaign=x",
+      "https://SRC1.example.com/Page/3?q=1#sec")
+    val canons = variants.toDF("url")
+      .select(graft.functions.TextFunctions.canonicalUrl(col("url")))
+      .as[String].collect().toSet
+    assert(canons === Set("https://src1.example.com/Page/3?q=1"))
+  }
+
   test("tfidfTopTerms == exact driver replay (ranks, tf, df)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
