@@ -30,6 +30,14 @@ for name, sql in sorted(oracle.items()):
             if str(df[c].dtype).startswith("datetime"):
                 df[c] = df[c].astype("datetime64[us]")
             if df[c].dtype == object:
+                # list/array cells are unhashable (numpy.ndarray breaks
+                # sort_values' factorize) — canonicalize to a JSON-ish
+                # string BEFORE the generic str() cast so both engines'
+                # list shapes compare stably; queries should still project
+                # scalars (the DRIVER's own harness has no such guard)
+                df[c] = df[c].map(
+                    lambda v: str(list(v)) if isinstance(v, (list, tuple))
+                    or type(v).__name__ == "ndarray" else v)
                 df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     w, g = canon(want), canon(got)
