@@ -151,6 +151,26 @@ class GeodesicHullSpec extends AnyFunSuite {
     assert(sizes.size > 1 && sizes.forall(n => n >= 2 && n <= 12), s"sizes $sizes")
   }
 
+  test("convex hull idempotence; DP structural invariants on random lattices") {
+    for (seed <- 1 to 25) {
+      val pts = (0 until 20).map { j =>
+        (((seed * 31 + j * 17) % 23).toDouble, ((seed * 57 + j * 41) % 19).toDouble)
+      }
+      val h = hull(pts)
+      // the hull of the hull's vertex set is the same cycle (idempotence)
+      assert(hull(h) === h, s"seed $seed: hull must be idempotent")
+      // DP: kept indices are strictly increasing, endpoints always present,
+      // and a zero epsilon keeps every vertex that bends
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      val kept = dp(xs, ys, eps2 = 4.0)
+      assert(kept.head === 0 && kept.last === pts.length - 1, s"seed $seed endpoints")
+      assert(kept === kept.sorted && kept.distinct === kept, s"seed $seed ordering")
+      assert(kept.toSet.subsetOf(pts.indices.toSet))
+      val all = dp(xs, ys, eps2 = 0.0)
+      assert(kept.size <= all.size, s"seed $seed: eps=0 keeps a superset")
+    }
+  }
+
   test("st_convex_hull SQL surface and q93 fixture shape") {
     GeoFunctionsImpl.register(spark)
     val n = spark.sql(
