@@ -978,6 +978,25 @@ object SparkEntry {
           st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
             lit(11.5755), lit(48.1372)).as("d_landmark_m"))
     }),
+    "q100_track_simplify" -> ((s, dir) => {
+      // trajectory COMPRESSION (the storage step after q80's length
+      // accounting): per-user ordered track → Douglas-Peucker. Coordinates
+      // here are NOT dyadic — parity rests on the op-order-exact contract
+      // (q75/q91): both engines evaluate the identical cross/len² expression
+      // trees on identical operands, so every split decision and argmax
+      // compares identical doubles; the oracle replays the q95 work-queue
+      // CTE over the variable-length ordered lists. ONE entity-key shuffle
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.st_simplify_dp
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("x"), col("y")).as("p"))
+      pts.groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(col("user_id"), size(col("ps")).as("n_pings"),
+          st_simplify_dp(col("ps.x"), col("ps.y"), lit(36.0)).as("kept_idx"))
+        .select(col("user_id"), col("n_pings"),
+          size(col("kept_idx")).as("n_kept"),
+          concat_ws(",", col("kept_idx").cast("array<string>")).as("kept"))
+    }),
     "q99_url_canon" -> ((s, dir) => {
       // URL canonicalization + dedup — the crawl-side dedup key computed
       // BEFORE any content dedup: the same page arrives with tracking
@@ -2742,6 +2761,37 @@ object SparkEntry {
            abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
                          FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
          FROM step WHERE t > 0 AND i = 0""",
+    "q100_track_simplify" ->
+      s"""WITH RECURSIVE pts AS (
+           SELECT event_id, user_id, ts, ${xySql.replace("%ID%", "event_id")}
+           FROM events),
+         v AS (SELECT user_id, list(x ORDER BY ts, event_id) AS xs,
+                      list(y ORDER BY ts, event_id) AS ys
+               FROM pts GROUP BY 1),
+         seg AS (
+           SELECT user_id, xs, ys, 1 AS i, CAST(len(xs) AS INT) AS j FROM v
+           UNION ALL
+           SELECT user_id, xs, ys, a AS i, b AS j
+           FROM (
+             SELECT user_id, xs, ys,
+               unnest(CASE WHEN mx > 36.0::DOUBLE * len2 THEN [i, kk] ELSE [] END) AS a,
+               unnest(CASE WHEN mx > 36.0::DOUBLE * len2 THEN [kk, j] ELSE [] END) AS b
+             FROM (
+               SELECT *, CAST(i + list_position(cr, list_max(cr)) AS INT) AS kk,
+                      list_max(cr) AS mx
+               FROM (
+                 SELECT *,
+                   [c * c FOR c IN
+                     [(xs[j]-xs[i]) * (ys[m]-ys[i]) - (ys[j]-ys[i]) * (xs[m]-xs[i])
+                      FOR m IN range(i+1, j)]] AS cr,
+                   (xs[j]-xs[i]) * (xs[j]-xs[i]) + (ys[j]-ys[i]) * (ys[j]-ys[i]) AS len2
+                 FROM seg WHERE j > i + 1) s1) s2) s3),
+         kept AS (SELECT DISTINCT user_id, idx FROM (
+           SELECT user_id, i AS idx FROM seg UNION ALL SELECT user_id, j FROM seg) u),
+         g AS (SELECT user_id, list(idx - 1 ORDER BY idx) AS ks FROM kept GROUP BY 1)
+         SELECT g.user_id, CAST(len(v.xs) AS INT) AS n_pings, CAST(len(ks) AS INT) AS n_kept,
+                array_to_string(ks, ',') AS kept
+         FROM g JOIN v ON v.user_id = g.user_id""",
     "q99_url_canon" ->
       """WITH u AS (
            SELECT doc_id,
