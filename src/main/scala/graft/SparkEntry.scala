@@ -958,6 +958,34 @@ object SparkEntry {
               p.getField("y").cast("int").cast("string")))).as("hull"),
           st_area(col("h.x"), col("h.y")).as("hull_area"))
     }),
+    "g17_geodesic_knn" -> ((s, dir) => {
+      // great-circle kNN: each user's FIRST ping against a broadcast
+      // landmark set, k=3 by haversine metres with the bounded knn_topk
+      // aggregate (id tie-break) — the lon/lat twin of q12 for un-projected
+      // corpora. Scan-local scoring (codegen st_dist_sphere × tiny cross),
+      // k-entry buffers on the shuffle. StrictMath → determinism probe,
+      // no DuckDB row (libm rule)
+      import org.apache.spark.sql.graft.GeoFunctionsImpl.{st_dist_sphere, knn_topk}
+      val pts = withXY(t(s, dir, "events"), "event_id")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            ((col("x") % 360.0) - 180.0).as("lon"),
+            ((col("y") % 170.0) - 85.0).as("lat")).as("p"))
+        .groupBy("user_id").agg(min(col("p")).as("p"))
+        .select(col("user_id"), col("p.lon").as("lon"), col("p.lat").as("lat"))
+      val landmarks = (0 until 24).map { i =>
+        (s"L$i", -80.0 + (i % 6) * 3.2, 16.0 + (i / 6) * 3.5)
+      }
+      val lm = s.createDataFrame(landmarks).toDF("lm_id", "lm_lon", "lm_lat")
+      pts.crossJoin(broadcast(lm))
+        .select(col("user_id"), col("lm_id"),
+          st_dist_sphere(col("lon"), col("lat"), col("lm_lon"), col("lm_lat")).as("d_m"))
+        .groupBy("user_id")
+        .agg(knn_topk(col("d_m"), col("lm_id"), 3).as("nn"))
+        .select(col("user_id"), explode(col("nn")).as("m"))
+        .select(col("user_id"), col("m.target_id").as("lm_id"),
+          col("m.d2").as("d_m"), col("m.rnk").as("rnk"))
+    }),
     "g16_geodesic" -> ((s, dir) => {
       // great-circle trajectory accounting — the lon/lat twin of q80 for
       // un-projected geotagged corpora: per-user track length in metres via

@@ -67,6 +67,34 @@ class GeodesicHullSpec extends AnyFunSuite {
       new GenericArrayData(Array[Any](1.0))) === 0.0)
   }
 
+  test("g17 geodesic kNN == driver StrictMath brute force (ranks and metres)") {
+    val got = graft.SparkEntry.queries("g17_geodesic_knn")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, Int)].collect()
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.length == 3))
+    // brute-force replay: first ping per user by (ts, event_id), haversine
+    // against the same landmark grid, top-3 by (d, id)
+    val firsts = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.time.LocalDateTime, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) =>
+        (u, rs.minBy(r => (r._2.toLocalDate.toEpochDay,
+          r._2.toLocalTime.toNanoOfDay, r._3))._3)
+      }
+    val landmarks = (0 until 24).map { i =>
+      (s"L$i", -80.0 + (i % 6) * 3.2, 16.0 + (i / 6) * 3.5)
+    }
+    val want = firsts.flatMap { case (u, eid) =>
+      val x = 457840.0 + ((eid * 7919) % 1600).toDouble * 0.01
+      val y = 5439081.0 + ((eid * 104729) % 1400).toDouble * 0.01
+      val lon = (x % 360.0) - 180.0; val lat = (y % 170.0) - 85.0
+      landmarks.map { case (id, ll, la) =>
+        (u, id, SphereKernels.haversineM(lon, lat, ll, la))
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((uu, id, d), i) => (uu, id, d, i + 1) }
+    }.toSet
+    assert(got.toSet === want, "kNN ranks and metres must replay bit-exact")
+  }
+
   private def hull(pts: Seq[(Double, Double)]): Seq[(Double, Double)] = {
     val a = RingKernels.convexHull(
       new GenericArrayData(pts.map(_._1: Any).toArray),
