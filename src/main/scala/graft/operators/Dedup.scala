@@ -129,12 +129,16 @@ object Dedup {
     // tokenize + distinct ONCE: four consumers read this lineage (the N
     // count, the df aggregation, the weight maps, the pair verify joins) —
     // uncached, each would re-scan and re-tokenize the corpus. Persisted,
-    // not checkpointed: the returned plan references it lazily, so it lives
-    // until session LRU eviction or a caller unpersist (the MLlib-style
-    // contract for a multi-consumer derived table). The shingle pass in
-    // md5SliceBuckets is a genuinely different derivation and stays separate.
+    // not checkpointed: the returned plan references it lazily. Lifetime:
+    // the handle is function-local, so reclamation is Spark's
+    // ContextCleaner — once the caller releases the returned DataFrame the
+    // cached blocks are unpersisted on driver GC (plus storage-memory LRU
+    // under pressure); each invocation pins ONE cache entry until then.
+    // The shingle pass in md5SliceBuckets is a genuinely different
+    // derivation and stays separate.
     val toks = docs.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks")).persist()
+      array_distinct(tokens(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = toks.count() // also materializes the cache
     val wTok = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))

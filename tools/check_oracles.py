@@ -32,12 +32,20 @@ for name, sql in sorted(oracle.items()):
             if df[c].dtype == object:
                 # list/array cells are unhashable (numpy.ndarray breaks
                 # sort_values' factorize) — canonicalize to a JSON-ish
-                # string BEFORE the generic str() cast so both engines'
-                # list shapes compare stably; queries should still project
-                # scalars (the DRIVER's own harness has no such guard)
-                df[c] = df[c].map(
-                    lambda v: str(list(v)) if isinstance(v, (list, tuple))
-                    or type(v).__name__ == "ndarray" else v)
+                # string so the compare still runs, but WARN loudly: the
+                # DRIVER's harness has no such guard and would record a
+                # harness error for this query (the round-5 failure mode).
+                # Queries must project scalars; this guard exists so the
+                # divergence is a visible warning, not a silent crash.
+                has_list = df[c].map(
+                    lambda v: isinstance(v, (list, tuple))
+                    or type(v).__name__ == "ndarray").any()
+                if has_list:
+                    print(f"{name}: WARN array-typed column '{c}' — the "
+                          "driver's gate cannot sort this; project a scalar")
+                    df[c] = df[c].map(
+                        lambda v: str(list(v)) if isinstance(v, (list, tuple))
+                        or type(v).__name__ == "ndarray" else v)
                 df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
     w, g = canon(want), canon(got)
