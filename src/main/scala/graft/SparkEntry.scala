@@ -1006,6 +1006,24 @@ object SparkEntry {
           st_dist_sphere(element_at(col("ps.lon"), 1), element_at(col("ps.lat"), 1),
             lit(11.5755), lit(48.1372)).as("d_landmark_m"))
     }),
+    "q101_aspect_batches" -> ((s, dir) => {
+      // aspect-ratio bucketing + fixed-size batch packing — the multimodal
+      // training-prep step (SDXL-style): images group into integer
+      // aspect-ratio buckets (4·w div h, clamped — pure integer arithmetic,
+      // no float ratios to disagree on), then pack into batches of 16 in
+      // deterministic id order. The per-bucket row_number is an honest
+      // sort bounded by bucket size (training batches are ordinal by
+      // definition); synthesized w/h metadata plays the images table's role
+      val d = col("doc_id")
+      val imgs = t(s, dir, "documents").select(d.as("img_id"),
+        (lit(256L) + (d * 37) % 768).as("w"), (lit(256L) + (d * 53) % 768).as("h"))
+      val bucket = least(lit(8L), expr("(w * 4) div h")).as("bucket")
+      imgs.select(col("img_id"), bucket)
+        .withColumn("batch_idx", expr("CAST((row_number() OVER (PARTITION BY bucket ORDER BY img_id)) - 1 AS BIGINT) div 16"))
+        .groupBy("bucket", "batch_idx")
+        .agg(count(lit(1)).as("n_imgs"),
+          min(col("img_id")).as("first_img"), max(col("img_id")).as("last_img"))
+    }),
     "q100_track_simplify" -> ((s, dir) => {
       // trajectory COMPRESSION (the storage step after q80's length
       // accounting): per-user ordered track → Douglas-Peucker. Coordinates
@@ -2789,6 +2807,22 @@ object SparkEntry {
            abs(list_sum([hx[i] * hy[(i %% (len(hx)-1)) + 1] - hx[(i %% (len(hx)-1)) + 1] * hy[i]
                          FOR i IN range(1, len(hx))])) * 0.5::DOUBLE AS hull_area
          FROM step WHERE t > 0 AND i = 0""",
+    "q101_aspect_batches" ->
+      """WITH imgs AS (
+           SELECT doc_id AS img_id,
+                  256 + (doc_id * 37) %% 768 AS w,
+                  256 + (doc_id * 53) %% 768 AS h
+           FROM documents),
+         b AS (SELECT img_id, LEAST(8, (w * 4) // h) AS bucket FROM imgs),
+         r AS (SELECT img_id, bucket,
+                 (row_number() OVER (PARTITION BY bucket ORDER BY img_id) - 1) // 16
+                   AS batch_idx
+               FROM b)
+         SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch_idx AS BIGINT) AS batch_idx,
+                CAST(count(*) AS BIGINT) AS n_imgs,
+                CAST(min(img_id) AS BIGINT) AS first_img,
+                CAST(max(img_id) AS BIGINT) AS last_img
+         FROM r GROUP BY 1, 2""",
     "q100_track_simplify" ->
       s"""WITH RECURSIVE pts AS (
            SELECT event_id, user_id, ts, ${xySql.replace("%ID%", "event_id")}
