@@ -453,14 +453,28 @@ object TextFunctions {
         .withColumn("doc_id", lit(null).cast("long"))
         .withColumn("score", lit(null).cast("double"))
         .withColumn("rnk", lit(null).cast("int"))
-    val statsRow = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
-      toks.agg(count(lit(1)).as("tok_total"))).head()
-    val nDocs = statsRow.getAs[Long]("n_docs")
-    val avgdl = statsRow.getAs[Long]("tok_total").toDouble / nDocs.toDouble
-    val dfm: Map[String, Double] = toks
-      .where(col("term").isInCollection(qset))
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    // ONE corpus pass for every global stat (was two: a tok_total count and
+    // a countDistinct df job, each re-tokenizing the corpus — guide §1.2,
+    // don't compute things twice): per doc, its non-empty token count (dl)
+    // and the distinct query terms it contains (array_intersect is set-
+    // valued, so term presence needs no distinct aggregate); posexplode_outer
+    // keeps term-free docs as one null-term row, so summing dl only at
+    // pos 0/null counts each doc once. ≤ |qset|+1 groups reach the driver.
+    val qLit = array(qset.map(lit): _*)
+    val statRows = docs.select(
+        size(filter(graft.operators.Dedup.tokens(col(textCol)),
+          t => length(t) > 0)).cast("long").as("dl"),
+        array_intersect(graft.operators.Dedup.tokens(col(textCol)), qLit).as("qts"))
+      .select(col("dl"), posexplode_outer(col("qts")).as(Seq("pos", "term")))
+      .groupBy("term")
+      .agg(sum(when(col("pos").isNull || col("pos") === 0, col("dl"))).as("dl_part"),
+        count(col("term")).as("df"))
+      .collect()
+    val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    val tokTotal = statRows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    val avgdl = tokTotal.toDouble / nDocs.toDouble
+    val dfm: Map[String, Double] = statRows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
     val idfm: Map[String, Double] = dfm.map { case (t, dfv) =>
       t -> StrictMath.log(1.0 + (nDocs.toDouble - dfv + 0.5) / (dfv + 0.5)) }
     // the single corpus pass of the returned plan: per-doc (dl, sorted

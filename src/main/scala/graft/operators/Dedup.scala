@@ -77,23 +77,19 @@ object Dedup {
   }
 
   /** The md5-slice minhash band buckets shared by [[lshPairs]] and
-    * [[containmentPairs]]: one digest per shingle (one-pass codegen
-    * shingle_make — tokens are adjacent in the source string, so rebuilding
-    * adjacency with posexplode + window lead() would shuffle every TOKEN
-    * row for nothing, and HOF transform() would interpret per element),
-    * `perms` 8-hex slices as band keys, per-(id, band) minimum. */
+    * [[containmentPairs]]: the one-pass codegen kernel
+    * [[org.apache.spark.sql.graft.Md5MinHashKernel]] computes all `perms`
+    * per-band minima inside the row loop (one digest per shingle, minima
+    * tracked as unsigned ints), so the signature never leaves the scan
+    * stage — the previous relational form exploded every shingle ×perms
+    * and paid an (id, band) hash-aggregate exchange to rebuild the same
+    * minima (guide §2.4). Bit-identical output (kernel doc + DedupAnnSpec
+    * pin the equality); (id, band ∈ 0..perms−1, bucket) rows as before. */
   private def md5SliceBuckets(docs: DataFrame, idCol: String, textCol: String,
-                              perms: Int, ngram: Int): DataFrame = {
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(org.apache.spark.sql.graft.TextFunctionsImpl.shingle_make(
-        col(textCol), lit(ngram))).as("s"))
-    exploded
-      .select(col("id"), md5(col("s").cast("binary")).as("h0")) // ONE digest per shingle
-      .select(col("id"),
-        posexplode(array((1 to perms).map(p =>
-          substring(col("h0"), (p - 1) * 8 + 1, 8)): _*)).as(Seq("band", "h")))
-      .groupBy("id", "band").agg(min("h").as("bucket"))
-  }
+                              perms: Int, ngram: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(org.apache.spark.sql.graft.TextFunctionsImpl.md5_minhash_sig(
+        col(textCol), lit(ngram), lit(perms))).as(Seq("band", "bucket")))
 
   /**
    * [[lshPairs]] with an IDF-WEIGHTED Jaccard verify — the boilerplate
@@ -115,10 +111,12 @@ object Dedup {
    *
    * Shuffle shape: candidate generation is [[lshPairs]]'s banded md5-slice
    * join unchanged (ids only, bucket caps). The weight table is a token-key
-   * aggregation bounded by vocabulary size; per-doc weight maps attach to
-   * candidate PAIRS only (two equi-joins, like the token re-attachment).
+   * aggregation bounded by vocabulary size; the verify explodes each
+   * candidate pair's token union ONCE with membership flags, joins the
+   * (tok, w) table, and one map-side-combined aggregation produces every
+   * sum the scores need — only ids and longs cross the pair-key shuffle.
    * The union weight needs no union materialization: Σ_union = wsum_a +
-   * wsum_b − Σ_inter, with per-doc wsum precomputed in the same pass.
+   * wsum_b − Σ_inter, with both per-doc wsums read off the same union rows.
    * `N` is one bounded driver count (the g9 BM25 N/avgdl precedent).
    * Output: (doc_a, doc_b, jac, wjac) for pairs with wjac ≥ the threshold.
    */
@@ -144,25 +142,37 @@ object Dedup {
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), greatest(lit(1L),
         expr(s"CAST($nDocs AS BIGINT) div df")).as("w"))
-    val wtoks = toks.select(col("id"), explode(col("toks")).as("tok"))
-      .join(wTok, Seq("tok"))
-      .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("tok"), col("w")))).as("wmap"),
-        sum(col("w")).as("wsum"))
-    val sides = toks.join(wtoks, Seq("id"))
-    bandCandidates(md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket)
-      .join(sides.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("wmap").as("wmap_a"), col("wsum").as("wsum_a")), Seq("id_a"))
-      .join(sides.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("wsum").as("wsum_b")), Seq("id_b"))
-      .withColumn("inter", array_intersect(col("toks_a"), col("toks_b")))
-      // interpreted HOF is fine HERE: it runs per candidate pair (bounded by
-      // the bucket caps), not per corpus row; sums are exact longs
-      .withColumn("inter_w", aggregate(col("inter"), lit(0L),
-        (acc, t) => acc + element_at(col("wmap_a"), t)))
+    // Verify via exploded (pair, tok) rows instead of shipping each doc's
+    // full token→weight MAP with every candidate pair (the r6 verdict's
+    // "wmap rider": a doc in many pairs re-shipped its map per pair, making
+    // q94 the most expensive query on the board). Each pair explodes its
+    // token UNION once with membership flags, joins the vocabulary-sized
+    // (tok, w) table (AQE broadcasts it in the normal case), and ONE
+    // map-side-combined aggregation yields every sum the scores need —
+    // Σinter, |inter|, |union|, and both per-doc weight sums (each doc's
+    // tokens are exactly its union rows with its flag set) — so only ids
+    // and longs cross the pair-key shuffle (guide §2.3). All sums are exact
+    // longs; jac/wjac divisions are spelled as before → bit-identical
+    // output (the q94 DuckDB oracle stays green unchanged).
+    val pairToks = bandCandidates(
+        md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket)
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"),
+        explode(array_union(col("toks_a"), col("toks_b"))).as("tok"))
+      .select(col("id_a"), col("id_b"), col("tok"),
+        array_contains(col("toks_a"), col("tok")).as("in_a"),
+        array_contains(col("toks_b"), col("tok")).as("in_b"))
+    pairToks.join(wTok, Seq("tok"))
+      .groupBy("id_a", "id_b")
+      .agg(coalesce(sum(when(col("in_a") && col("in_b"), col("w"))), lit(0L))
+          .as("inter_w"),
+        count(when(col("in_a") && col("in_b"), lit(1))).as("n_inter"),
+        count(lit(1)).as("n_union"),
+        sum(when(col("in_a"), col("w"))).as("wsum_a"),
+        sum(when(col("in_b"), col("w"))).as("wsum_b"))
       .withColumn("jac",
-        size(col("inter")).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        col("n_inter").cast("double") / col("n_union").cast("double"))
       .withColumn("wjac",
         col("inter_w").cast("double") /
           (col("wsum_a") + col("wsum_b") - col("inter_w")).cast("double"))
@@ -687,9 +697,26 @@ object Dedup {
   }
 
   /** [[connectedComponents]] plus the number of (large-star, small-star)
-    * rounds taken — the O(log n) claim is testable, not asserted. */
+    * rounds taken — the O(log n) claim is testable, not asserted (0 on the
+    * small-graph driver path below).
+    *
+    * Small-graph fast path (the Setback.auto threshold pattern): a star
+    * round costs 4-5 cluster barriers (two groupBy+join passes, a distinct,
+    * a checkpoint, the convergence checksum), and a near-dup pair graph at
+    * bench scale converges in ~4 rounds — ~20 barriers to label a few
+    * thousand edges. When the deduped edge set is at most
+    * `spark.graft.cc.smallGraphMaxEdges` (default 2^20; 0 disables), the
+    * edges are a BOUNDED driver fit — ≤16 MB of longs, the ivf-centroid /
+    * BM25-stats precedent — and one union-find pass labels them exactly;
+    * the labels return as a local relation, so downstream joins broadcast
+    * instead of shuffling. Above the threshold (the 10^12-doc corpus whose
+    * pair graph has billions of edges) nothing changes: O(log n) star
+    * rounds, per-round checkpoints, structural audits. Both paths are
+    * label-identical by construction (min-root is unique); DedupAnnSpec
+    * pins the equality on both sides of the threshold. */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIters: Int = 50,
                                     checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val ck = graft.core.Checkpoints.strategy(pairs, checkpointDir)
     def checksum(e: DataFrame): (Long, Long) = {
       // bit_xor: order-insensitive AND overflow-free under ANSI mode (a
@@ -705,6 +732,20 @@ object Dedup {
     val edges0 = ck(pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct())
+    val smallMax = graft.core.Confs.longConf(spark,
+      "spark.graft.cc.smallGraphMaxEdges", 1L << 20, min = 0L)
+    // LONG ids only: the driver union-find compares with Long ordering, which
+    // matches Spark's greatest/least/min there; string-id callers (e.g. the
+    // curate pipeline's image keys) keep the distributed path, whose ordering
+    // is Spark's own
+    val longIds = edges0.schema("u").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (smallMax > 0 && longIds && edges0.count() <= smallMax) {
+      import spark.implicits._
+      val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val labels = bruteComponents(es.toSeq).toSeq.sortBy(_._1).toDF("node", "root")
+      return (labels, 0)
+    }
     // inter-pass distinct threshold: in a k-clique large-star emits each
     // (v, min) edge ~k times, so ABOVE the threshold the dedup shuffle is k×
     // smaller than the small-star join it feeds — worth a round-trip. BELOW

@@ -40,6 +40,24 @@ object GraphPaths {
                   stopAt: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Small-graph fast path (the connectedComponents threshold pattern): a
+    // BFS round costs 2-3 cluster barriers; when the edge table is at most
+    // `spark.graft.graph.smallGraphMaxEdges` rows (default 2^20 — ≤16 MB of
+    // longs, a bounded driver fit; 0 disables) one driver pass replays the
+    // EXACT distributed round semantics (same frontier rounds, same
+    // min-parent rule, same stopAt early exit) and the levels return as a
+    // local relation, so downstream joins broadcast. Above the threshold
+    // (billion-edge XLink graphs) the distributed loop below is unchanged.
+    // GraphPathsSpec pins both paths row-identical.
+    val smallMax = graft.core.Confs.longConf(spark,
+      "spark.graft.graph.smallGraphMaxEdges", 1L << 20, min = 0L)
+    val probeN = math.min(smallMax + 1, Int.MaxValue.toLong - 1).toInt
+    val eNarrow = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    if (smallMax > 0 && eNarrow.limit(probeN).count() <= smallMax) {
+      val es = eNarrow.as[(Long, Long)].collect().toSeq
+      return bruteBfsRounds(es, source, maxDepth, stopAt)
+        .toDF("node", "dist", "pred")
+    }
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     // materialize the edge table ONCE, pre-partitioned by the per-round join
     // key (src) and PERSISTED — the cached layout satisfies every round's
@@ -152,6 +170,19 @@ object GraphPaths {
                    checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // small-graph driver fast path — replays the EXACT frontier-Bellman-Ford
+    // round semantics (incl. the maxRounds cap, so an un-converged exit
+    // matches the distributed loop too); see bfsWithPred for the threshold
+    // contract. GraphPathsSpec pins both paths row-identical.
+    val smallMax = graft.core.Confs.longConf(spark,
+      "spark.graft.graph.smallGraphMaxEdges", 1L << 20, min = 0L)
+    val probeN = math.min(smallMax + 1, Int.MaxValue.toLong - 1).toInt
+    val eNarrow = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    if (smallMax > 0 && eNarrow.limit(probeN).count() <= smallMax) {
+      val es = eNarrow.as[(Long, Long, Long)].collect().toSeq
+      return bruteSsspRounds(es, source, maxRounds).toSeq.sorted.toDF("node", "dist")
+    }
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long")))
@@ -177,6 +208,56 @@ object GraphPaths {
       }
       dist
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Driver-side replay of the [[bfsWithPred]] round semantics (same
+    * frontier rounds, min-parent rule, and stopAt early exit) — the
+    * small-graph fast path's kernel. Output sorted by (dist, node) for
+    * run-to-run determinism. */
+  private[operators] def bruteBfsRounds(edges: Seq[(Long, Long)], source: Long,
+      maxDepth: Int, stopAt: Option[Long]): Seq[(Long, Int, Option[Long])] = {
+    val adj = edges.groupBy(_._1)
+    val visited = scala.collection.mutable.Map[Long, (Int, Option[Long])](
+      source -> (0, None))
+    var frontier: Set[Long] = Set(source)
+    var d = 0
+    var found = stopAt.contains(source)
+    while (d < maxDepth && frontier.nonEmpty && !found) {
+      val next = scala.collection.mutable.Map.empty[Long, Long] // node -> min pred
+      frontier.foreach { n =>
+        adj.getOrElse(n, Seq.empty).foreach { case (s, dst) =>
+          if (!visited.contains(dst) && next.get(dst).forall(_ > s)) next(dst) = s
+        }
+      }
+      found = stopAt.exists(next.contains)
+      next.foreach { case (node, pred) => visited(node) = (d + 1, Some(pred)) }
+      frontier = next.keySet.toSet
+      d += 1
+    }
+    visited.toSeq.map { case (n, (dist, pred)) => (n, dist, pred) }
+      .sortBy(r => (r._2, r._1))
+  }
+
+  /** Driver-side replay of the [[weightedSssp]] round semantics (frontier
+    * Bellman-Ford with per-target min candidates, strict improvement, and
+    * the maxRounds cap) — the small-graph fast path's kernel. */
+  private[operators] def bruteSsspRounds(edges: Seq[(Long, Long, Long)],
+      source: Long, maxRounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1)
+    var dist = Map(source -> 0L)
+    var frontier = Map(source -> 0L)
+    var r = 0
+    while (r < maxRounds && frontier.nonEmpty) {
+      val cand = frontier.toSeq
+        .flatMap { case (n, dn) =>
+          adj.getOrElse(n, Seq.empty).map { case (_, m, w) => (m, dn + w) } }
+        .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).min }
+      val improved = cand.filter { case (m, c) => dist.get(m).forall(_ > c) }
+      dist ++= improved
+      frontier = improved
+      r += 1
+    }
+    dist
   }
 
   /** Driver-side Dijkstra oracle (tests). */

@@ -87,17 +87,32 @@ object KnnJoin {
     val spark = probes.sparkSession
     graft.functions.GeoFunctions.register(spark)
     val ck = graft.core.Checkpoints.strategy(probes, checkpointDir)
-    // materialize the bucketed target table ONCE, pre-partitioned by the
-    // per-round join key (tcell) and PERSISTED: without this every round
-    // re-runs the target scan + hex_encode AND re-exchanges the full (huge,
-    // static) target side; the cached layout means each round shuffles only
-    // the exploded ring cells of the still-pending probes. (persist carries
-    // the partitioning through AQE where a checkpoint would not — see the
-    // PlanQualitySpec gate)
-    val t = targets.select(col("target_id").cast("string"),
+    val tBase = targets.select(col("target_id").cast("string"),
       col("cx").cast("double"), col("cy").cast("double"))
       .withColumn("tcell", graft.functions.GeoFunctions.hex_encode(col("cx"), col("cy"), lit(res)))
-      .repartition(col("tcell")).persist()
+    // Two physical regimes, chosen ONCE from the probe count (guide §3.1 —
+    // pick the join strategy deliberately):
+    //  - SMALL probe side (≤ spark.graft.knn.smallProbeLimit): each round
+    //    BROADCASTS the exploded probe-ring cells and streams the (huge by
+    //    premise) target table from an UNSHUFFLED cache — the target side
+    //    is never exchanged at all, the §3.1 "broadcast the side that fits"
+    //    move. A per-round row guard (pending × ring cells ≤
+    //    spark.graft.knn.broadcastRowsLimit) falls back to a plain shuffle
+    //    join for the rare wide-ring straggler round.
+    //  - BIG probe side: the original layout — target table pre-partitioned
+    //    by the per-round join key (tcell) and PERSISTED, so each round
+    //    shuffles only the exploded ring cells of the still-pending probes
+    //    (persist carries the partitioning through AQE where a checkpoint
+    //    would not — see the PlanQualitySpec gate).
+    val smallProbeLimit = graft.core.Confs.longConf(spark,
+      "spark.graft.knn.smallProbeLimit", 65536L, min = 0L)
+    val broadcastRowsLimit = graft.core.Confs.longConf(spark,
+      "spark.graft.knn.broadcastRowsLimit", 4L << 20, min = 1L)
+    val probes0 = ck(probes.select(col("probe_id").cast("string"),
+      col("x").cast("double"), col("y").cast("double")))
+    val nProbes0 = probes0.count()
+    val smallProbes = nProbes0 <= smallProbeLimit
+    val t = if (smallProbes) tBase.persist() else tBase.repartition(col("tcell")).persist()
     try {
     // candidates carry (probe_id, target_id, d2) ONLY — the probe coordinates
     // live in `pending` and would otherwise ride every ranking shuffle
@@ -119,9 +134,10 @@ object KnnJoin {
     // eager checkpoints: each round's accumulator and pending set materialize
     // ONCE and truncate lineage — a lazy checkpoint re-ran the whole round
     // chain on every action (recompute amplification across rounds)
-    var pending = ck(probes.select(col("probe_id").cast("string"),
-      col("x").cast("double"), col("y").cast("double")))
-    var nPending = -1L // unknown until the first round's single count action
+    var pending = probes0
+    // -1 keeps the empty-input flow on the original path: one (empty) round
+    // still runs, so doneParts is never an empty reduce
+    var nPending = if (nProbes0 == 0) -1L else nProbes0
     // acc = running top-k candidates of UNFINISHED probes only (no rnk col)
     var acc: DataFrame = candOf(pending.limit(0).crossJoin(t.limit(0)))
     // finalized (probe_id, target_id, d2, rnk) blocks — checkpointed leaves
@@ -143,8 +159,16 @@ object KnnJoin {
       val rHi = math.min(maxR, math.max(r + ringsPerRound - 1, 2 * r))
       val ringCells = flatten(array((r to rHi).map(rr =>
         graft.functions.GeoFunctions.hex_ring(col("x"), col("y"), lit(res), lit(rr))): _*))
-      val cand = candOf(pending.withColumn("pcell", explode(ringCells))
-        .join(t, col("pcell") === col("tcell")))
+      // exploded rows this round = pending × Σ ring sizes (ring 0 = 1 cell,
+      // ring rr = 6·rr cells) — known exactly, so the broadcast guard needs
+      // no size estimate
+      val cellsThisRound = (r to rHi).map(rr => if (rr == 0) 1L else 6L * rr).sum
+      val exploded = pending.withColumn("pcell", explode(ringCells))
+      val probeSide =
+        if (smallProbes && (if (nPending < 0) 0L else nPending) * cellsThisRound <= broadcastRowsLimit)
+          broadcast(exploded)
+        else exploded
+      val cand = candOf(probeSide.join(t, col("pcell") === col("tcell")))
       // rank old top-k ∪ new candidates, keep top-k — the only rows a later
       // round could ever emit (d2 never changes; candidates only accumulate)
       val topk = ck(rankTopK(acc.unionByName(cand)))

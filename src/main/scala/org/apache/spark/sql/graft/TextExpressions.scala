@@ -130,6 +130,81 @@ case class ShingleMakeExpr(left: Expression, right: Expression)
 }
 
 /**
+ * One-pass md5-slice MinHash signature: per permutation p ∈ [0, perms), the
+ * minimum over the row's word n-gram shingles of hex chars [p*8, p*8+8) of
+ * md5(shingle). Bit-identical to the relational formulation
+ * `explode(shingle_make) → md5 → substring slices → groupBy(id, band) min`
+ * (the q19 DuckDB-oracle contract): the UTF8String min over 8-hex-char
+ * slices equals the unsigned-int min over the digest's 4-byte slices because
+ * hex encoding is order-preserving. Computing the minima inside the row loop
+ * removes the shingle explode and the (id, band) hash aggregate — the
+ * signature never leaves the scan stage (guide §2.4: remove shuffles
+ * outright). Returns an EMPTY array when the row has no shingle (the
+ * relational form emitted no row), so posexplode drops it identically.
+ */
+object Md5MinHashKernel {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def eval(text: UTF8String, n: Int, perms: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val digest = mdLocal.get()
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, 0x100000000L) // > any unsigned 32-bit slice
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      digest.reset()
+      val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var p = 0
+      while (p < perms) {
+        val v = ((d(4 * p) & 0xffL) << 24) | ((d(4 * p + 1) & 0xffL) << 16) |
+          ((d(4 * p + 2) & 0xffL) << 8) | (d(4 * p + 3) & 0xffL)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](perms)
+    var p = 0
+    while (p < perms) {
+      val v = mins(p)
+      val cs = new Array[Char](8)
+      var k = 0
+      while (k < 8) { cs(k) = HEX(((v >>> ((7 - k) * 4)) & 0xfL).toInt); k += 1 }
+      out(p) = UTF8String.fromString(new String(cs))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** md5_minhash_sig(text, n, perms) → array<string> of per-band minimum
+  * 8-hex-char md5 slices (empty when the row has no n-gram). */
+case class Md5MinHashSigExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def nullSafeEval(t: Any, n: Any, p: Any): Any =
+    Md5MinHashKernel.eval(t.asInstanceOf[UTF8String], n.asInstanceOf[Int], p.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, p) =>
+      s"org.apache.spark.sql.graft.Md5MinHashKernel.eval($t, $n, $p)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "md5_minhash_sig"
+}
+
+/**
  * 64-bit SimHash kernel — the per-row bit-vote loop as a plain static method
  * so the operator is a codegen expression, not a typed `Dataset.map` (the
  * Encoder round-trip forced DeserializeToObject/SerializeFromObject into the
@@ -535,6 +610,8 @@ object TextFunctionsImpl {
   def lang_id(text: Column): Column = column(LangIdExpr(expression(text)))
   def shingle_make(text: Column, n: Column): Column =
     column(ShingleMakeExpr(expression(text), expression(n)))
+  def md5_minhash_sig(text: Column, n: Column, perms: Column): Column =
+    column(Md5MinHashSigExpr(expression(text), expression(n), expression(perms)))
   /** Bounded-memory heavy hitters (Misra-Gries) — see FreqSketchAgg. */
   def freq_topk(item: Column, capacity: Int, k: Int): Column =
     column(FreqSketchAgg(expression(item), capacity, k).toAggregateExpression())

@@ -511,10 +511,20 @@ class DedupAnnSpec extends AnyFunSuite {
         .filter(p => p._1 != p._2) ++
       (1000L until 1040L).sliding(2).map(w => (w(1), w(0))).toSeq ++
       Seq((2000L, 2000L), (0L, 0L))
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
+    // force the DISTRIBUTED star path (test graphs sit far below the
+    // small-graph driver-fallback threshold) so the round bounds below
+    // exercise the star iteration, not the union-find fast path
+    spark.conf.set("spark.graft.cc.smallGraphMaxEdges", "0")
+    val (labels, rounds) = try
+      Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
+    finally spark.conf.unset("spark.graft.cc.smallGraphMaxEdges")
     val got = labels.as[(Long, Long)].collect().toMap
     val want = Dedup.bruteComponents(pairs)
     assert(got === want)
+    // the default (small-graph driver union-find) path is label-identical
+    val (labelsSmall, roundsSmall) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
+    assert(roundsSmall === 0, "small graph should take the driver union-find path")
+    assert(labelsSmall.as[(Long, Long)].collect().toMap === want)
     // the point of large-star/small-star: round count scales with log n,
     // NOT with component diameter — the 40-node path (diameter 39) would
     // take 39+ label-propagation rounds; 2·log₂(40) ≈ 11 bounds the stars
@@ -531,11 +541,15 @@ class DedupAnnSpec extends AnyFunSuite {
     // the default run above took the skip path (test graphs are far below
     // 2^22 edges); threshold 0 forces the always-distinct path
     spark.conf.set("spark.graft.cc.interDistinctMinEdges", "0")
+    spark.conf.set("spark.graft.cc.smallGraphMaxEdges", "0")
     try {
       val (labels2, rounds2) = Dedup.connectedComponentsWithRounds(pairs.toDF("a", "b"))
       assert(labels2.as[(Long, Long)].collect().toMap === want)
       assert(rounds2 <= 12, s"always-distinct star CC took $rounds2 rounds")
-    } finally spark.conf.unset("spark.graft.cc.interDistinctMinEdges")
+    } finally {
+      spark.conf.unset("spark.graft.cc.interDistinctMinEdges")
+      spark.conf.unset("spark.graft.cc.smallGraphMaxEdges")
+    }
   }
 
   test("embedding near-dup: planted duplicate vectors found") {

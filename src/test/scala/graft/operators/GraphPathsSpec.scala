@@ -13,13 +13,28 @@ class GraphPathsSpec extends AnyFunSuite {
     (0 until 3).map(_ => (s, rnd.nextInt(200).toLong))
   }
 
+  /** Run `body` with the small-graph driver fast path disabled, so the
+    * DISTRIBUTED round loop is exercised (test graphs all sit below the
+    * default threshold). */
+  def forceDistributed[T](body: => T): T = {
+    spark.conf.set("spark.graft.graph.smallGraphMaxEdges", "0")
+    try body finally spark.conf.unset("spark.graft.graph.smallGraphMaxEdges")
+  }
+
   test("bfsLevels == brute-force BFS distances (random graph, several depths)") {
     val e = edges.toDF("src", "dst")
     for (depth <- Seq(1, 3, 8)) {
+      // default = small-graph driver path; forced = distributed star rounds —
+      // both must match the oracle (and therefore each other)
       val got = GraphPaths.bfsLevels(e, source = 0L, maxDepth = depth)
         .as[(Long, Int)].collect().toMap
+      val gotDist = forceDistributed {
+        GraphPaths.bfsLevels(e, source = 0L, maxDepth = depth)
+          .as[(Long, Int)].collect().toMap
+      }
       val want = GraphPaths.bruteBfs(edges, 0L, depth)
       assert(got === want, s"depth=$depth")
+      assert(gotDist === want, s"depth=$depth (distributed)")
       assert(want.size > 1)
     }
   }
@@ -47,8 +62,13 @@ class GraphPathsSpec extends AnyFunSuite {
     for (t <- targets) {
       val got = GraphPaths.shortestPath(e, 0L, t, maxDepth = 8)
         .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      val gotDist = forceDistributed {
+        GraphPaths.shortestPath(e, 0L, t, maxDepth = 8)
+          .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+      }
       val want = GraphPaths.bruteShortestPath(edges, 0L, t, 8)
       assert(got === want, s"target=$t")
+      assert(gotDist === want, s"target=$t (distributed)")
       assert(got.head === 0L && got.last === t && got.size === dist(t) + 1)
     }
     val unreachable = (0L until 300L).find(n => !dist.contains(n)).get
@@ -62,8 +82,13 @@ class GraphPathsSpec extends AnyFunSuite {
     val e = wEdges.toDF("src", "dst", "w")
     val got = GraphPaths.weightedSssp(e, source = 0L, maxRounds = 250)
       .as[(Long, Long)].collect().toMap
+    val gotDist = forceDistributed {
+      GraphPaths.weightedSssp(e, source = 0L, maxRounds = 250)
+        .as[(Long, Long)].collect().toMap
+    }
     val want = GraphPaths.bruteSssp(wEdges, 0L)
     assert(got === want)
+    assert(gotDist === want, "(distributed)")
     assert(want.size > 10, "fixture should reach a nontrivial component")
     // cheapest route must beat a heavy direct edge: 0 →(9) 1 vs 0 →(1) 2 →(1) 1
     val tiny = Seq((0L, 1L, 9L), (0L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
@@ -84,9 +109,12 @@ class GraphPathsSpec extends AnyFunSuite {
     // executor invalidates localCheckpoint blocks and aborts the iteration)
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     val e = edges.toDF("src", "dst")
-    val local = GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap
-    val reliable = GraphPaths.bfsLevels(e, 0L, 8, checkpointDir = Some(ckDir))
-      .as[(Long, Int)].collect().toMap
+    // checkpoint plumbing only exists on the distributed path — force it
+    val (local, reliable) = forceDistributed {
+      (GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap,
+        GraphPaths.bfsLevels(e, 0L, 8, checkpointDir = Some(ckDir))
+          .as[(Long, Int)].collect().toMap)
+    }
     assert(reliable === local)
     // the checkpoint dir was actually used (RDD checkpoint files on disk)
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
