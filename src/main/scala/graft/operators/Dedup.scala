@@ -70,8 +70,13 @@ object Dedup {
     // a shared min-shingle that frequent carries no signal, and an uncapped
     // mega-bucket is an O(bucket²) pair explosion (standard LSH practice;
     // the DuckDB oracle applies the identical cap, so row parity holds).
+    // persisted: both verify-join sides re-attach the token sets — without
+    // the persist each side re-scans and re-tokenizes the corpus (their
+    // join keys differ, so no exchange is reusable between them). Same
+    // lifetime contract as bandCandidates' bucket cache.
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(bandCandidates(
       md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket), toks, minJaccard)
   }
@@ -200,6 +205,7 @@ object Dedup {
                        maxBucket: Int = 100): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides — see lshPairs
     bandCandidates(md5SliceBuckets(docs, idCol, textCol, perms, ngram), maxBucket)
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
@@ -237,6 +243,7 @@ object Dedup {
       "multiprobe needs rows >= 2 (a leave-one-out of a 1-row band is the constant key)")
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join sides — see lshPairs
     val keys =
       if (multiprobe) org.apache.spark.sql.graft.TextFunctionsImpl.minhash_bands_mp(
         col(textCol), lit(ngram), lit(bands), lit(rows))
@@ -253,7 +260,16 @@ object Dedup {
     * anti-joins them — map-side partial aggregation, no per-partition sort
     * of every bucket row; AQE picks a broadcast anti-join when the oversized
     * set is small (the normal case). */
-  private def bandCandidates(buckets0: DataFrame, maxBucket: Int): DataFrame = {
+  private def bandCandidates(buckets0raw: DataFrame, maxBucket: Int): DataFrame = {
+    // persisted: THREE consumers read this lineage (the oversized-bucket
+    // aggregation and both self-join sides). Since the signature kernel
+    // made bucket generation scan-local there is no Exchange left for
+    // ReuseExchange to dedup, so without the persist each consumer would
+    // re-run the full corpus scan + signature pass. (id, band, bucket) is
+    // perms× the doc count — far narrower than the corpus text. Lifetime:
+    // function-local handle, reclaimed by ContextCleaner once the returned
+    // plan is released (the lshPairsWeighted toks precedent).
+    val buckets0 = buckets0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversized = buckets0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > maxBucket)
