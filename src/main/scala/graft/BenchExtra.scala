@@ -84,6 +84,9 @@ object BenchExtra {
         val pw = new java.io.PrintWriter(s"$d/$name.txt")
         try pw.write(plan) finally pw.close()
       }
+      if (reps == 0) { // explain-only mode: dump plans, run nothing
+        System.err.println(s"[benchx] $name explained")
+      } else {
       spark.sparkContext.setJobDescription(s"warmup: $name")
       run(fn) // warmup (JIT + codegen)
       val samples = (1 to reps).map { i =>
@@ -101,6 +104,7 @@ object BenchExtra {
       if (!first) out.append(",")
       out.append(line); first = false
       System.err.println(s"[benchx] $name ${samples.map(s => f"$s%.3f").mkString(" ")}")
+      }
     }
     out.append("}")
     println(out.toString)

@@ -386,7 +386,12 @@ object TextFunctions {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
+    // persisted: TWO consumers read the tf lineage (the df aggregation and
+    // the scored join) — unpersisted, each re-scans and re-tokenizes the
+    // corpus and re-runs the (doc, term) aggregation. Function-local
+    // handle, reclaimed by ContextCleaner (the Dedup cache pattern).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf already has one row per (doc, term) — df falls out of it without
     // re-tokenizing the corpus or shuffling the exploded token stream again
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -479,7 +484,14 @@ object TextFunctions {
       t -> StrictMath.log(1.0 + (nDocs.toDouble - dfv + 0.5) / (dfv + 0.5)) }
     // the single corpus pass of the returned plan: per-doc (dl, sorted
     // query-term occurrences); docs with no query term never leave the map
-    // side with more than their (doc_id, dl, empty) row, and are dropped
+    // side with more than their (doc_id, dl, empty) row, and are dropped.
+    // Scan-local HOF forms were tried and measured WORSE (3-4×): a lambda
+    // with isInCollection is not rewritten to an InSet hash lookup (every
+    // token pays an O(|qset|) scan), and a two-step array_intersect +
+    // array_contains form gets its intersect inlined into the lambda by
+    // CollapseProject (per-token set builds). The row-level isInCollection
+    // below does get the InSet rewrite, and the token explode feeds a
+    // map-side-combined aggregate.
     val perDoc = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("dl"),
         sort_array(collect_list(when(col("term").isInCollection(qset), col("term"))))

@@ -534,10 +534,15 @@ object Dedup {
     // disjoint chunks suffice for the pigeonhole guarantee even when
     // chunks*bits < 64: ≤ maxHamming differing bits cannot touch all
     // maxHamming+1 chunks, so some chunk is equal; verify counts all 64 bits
+    // persisted: both self-join sides read this lineage — when the caller's
+    // `sigs` is an unmaterialized signature computation (q39 passes the
+    // simhash kernel plan), each side would re-run it (the Dedup cache
+    // pattern; same ContextCleaner lifetime)
     val chunked = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col(sigCol), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "cv"))
