@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the full query sweep JIT-compiles hundreds of whole-stage-codegen
+  // classes in one JVM; the 240 MB default code cache evicts hot methods
+  // mid-run (same flag a production spark-submit would carry in
+  // spark.driver/executor.extraJavaOptions)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -472,14 +472,18 @@ object TextFunctions {
         array_intersect(graft.operators.Dedup.tokens(col(textCol)), qLit).as("qts"))
       .select(col("dl"), posexplode_outer(col("qts")).as(Seq("pos", "term")))
       .groupBy("term")
+      // every doc contributes exactly one pos∈{0, null} row (posexplode_outer
+      // keeps empty/null-qts docs as a single null row), so the same rows
+      // that carry the dl sum also count N — no separate count job
       .agg(sum(when(col("pos").isNull || col("pos") === 0, col("dl"))).as("dl_part"),
+        count(when(col("pos").isNull || col("pos") === 0, lit(1))).as("n_part"),
         count(col("term")).as("df"))
       .collect()
-    val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    val nDocs = statRows.map(_.getLong(2)).sum
     val tokTotal = statRows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
     val avgdl = tokTotal.toDouble / nDocs.toDouble
     val dfm: Map[String, Double] = statRows.filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+      .map(r => r.getString(0) -> r.getLong(3).toDouble).toMap
     val idfm: Map[String, Double] = dfm.map { case (t, dfv) =>
       t -> StrictMath.log(1.0 + (nDocs.toDouble - dfv + 0.5) / (dfv + 0.5)) }
     // the single corpus pass of the returned plan: per-doc (dl, sorted
