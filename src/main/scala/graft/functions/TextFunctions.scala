@@ -445,9 +445,14 @@ object TextFunctions {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(graft.operators.Dedup.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
+    // persisted: qterms is read twice (the qset driver fit below and the
+    // broadcast build of the contrib join) — unpersisted, each re-scans and
+    // re-tokenizes the query corpus (small by definition, so the cache is
+    // tiny; the Dedup cache-lifetime pattern)
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(graft.operators.Dedup.tokens(col(qTextCol)))).as("term"))
       .where(length(col("term")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver fits (queries are small by definition):
     // (1) distinct query-term set; (2) N + total token count; (3) per-term
     // df = docs containing the term — ≤ |distinct query terms| rows

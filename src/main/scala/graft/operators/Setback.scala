@@ -47,12 +47,16 @@ object Setback {
 
   val BroadcastRingLimitConf = "spark.graft.setback.broadcastRingLimit"
 
-  /** Exact brute path: broadcast the rings, score every pair scan-locally. */
+  /** Exact brute path: broadcast the rings, score every pair scan-locally.
+    * The point side gets the [[graft.core.Spread]] parallelism floor: rows
+    * are three scalars but each carries #rings exact-kernel evaluations, so
+    * a single-split input would run the whole scoring pass on one task. */
   def broadcastExact(points: DataFrame, rings: DataFrame,
                      idCol: String = "event_id"): DataFrame =
     finish(idCol,
-      points.select(col(idCol), col("x").cast("double").as("x"),
-          col("y").cast("double").as("y"))
+      graft.core.Spread.floor(points.select(col(idCol),
+          col("x").cast("double").as("x"),
+          col("y").cast("double").as("y")))
         .crossJoin(broadcast(rings.select(col("fid"), col("xs"), col("ys"))))
         .select(col(idCol), col("fid"),
           st_dist2_ring(col("xs"), col("ys"), col("x"), col("y")).as("d2"))
