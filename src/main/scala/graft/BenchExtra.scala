@@ -90,15 +90,22 @@ object BenchExtra {
       spark.sparkContext.setJobDescription(s"warmup: $name")
       run(fn) // warmup (JIT + codegen)
       val samples = (1 to reps).map { i =>
+        // drain the async listener bus so the previous rep's stage events
+        // can't leak into (or be dropped by) this rep's counters
+        org.apache.spark.sql.graft.ListenerBusSync.drain(spark.sparkContext)
         counters.reset()
         spark.sparkContext.setJobDescription(s"$name rep$i")
         val t0 = System.nanoTime()
         run(fn)
         (System.nanoTime() - t0) / 1e9
       }
+      org.apache.spark.sql.graft.ListenerBusSync.drain(spark.sparkContext)
       spark.sparkContext.setJobDescription(null)
+      val sorted = samples.sorted
+      val med = if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       val line =
-        f""""$name":{"min":${samples.min}%.3f,"med":${samples.sorted.apply(samples.size / 2)}%.3f,""" +
+        f""""$name":{"min":${samples.min}%.3f,"med":$med%.3f,""" +
         f""""jobs":${counters.jobs},"stages":${counters.stages},"tasks":${counters.tasks},""" +
         f""""shufR":${counters.shuffleRead},"shufW":${counters.shuffleWrite}}"""
       if (!first) out.append(",")

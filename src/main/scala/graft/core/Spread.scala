@@ -16,6 +16,13 @@ import org.apache.spark.sql.DataFrame
  * large (point × broadcast-geometry scoring). A no-op — no exchange added —
  * whenever the input is already at least default-parallel, i.e. any real
  * multi-split table at scale.
+ *
+ * CALLER CONTRACT: pass scan-shaped inputs only (scan + projections/
+ * filters). The partition probe reads `df.rdd`, and under AQE that
+ * finalizes the plan — for an input containing its own Exchange the
+ * upstream stages would EXECUTE at plan-construction time and run again on
+ * the real action. The sole current caller (Setback.broadcastExact) feeds
+ * a scan projection.
  */
 object Spread {
   def floor(df: DataFrame): DataFrame = {

@@ -389,7 +389,8 @@ object TextFunctions {
     // persisted: TWO consumers read the tf lineage (the df aggregation and
     // the scored join) — unpersisted, each re-scans and re-tokenizes the
     // corpus and re-runs the (doc, term) aggregation. Function-local
-    // handle, reclaimed by ContextCleaner (the Dedup cache pattern).
+    // handle; cache lives until unpersist or session end (the Dedup
+    // honest-lifetime contract — see lshPairsWeighted's toks note).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf already has one row per (doc, term) — df falls out of it without
@@ -448,7 +449,7 @@ object TextFunctions {
     // persisted: qterms is read twice (the qset driver fit below and the
     // broadcast build of the contrib join) — unpersisted, each re-scans and
     // re-tokenizes the query corpus (small by definition, so the cache is
-    // tiny; the Dedup cache-lifetime pattern)
+    // tiny; Dedup honest-lifetime contract: lives until session end)
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(graft.operators.Dedup.tokens(col(qTextCol)))).as("term"))
       .where(length(col("term")) > 0)

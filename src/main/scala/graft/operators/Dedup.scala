@@ -72,8 +72,8 @@ object Dedup {
     // the DuckDB oracle applies the identical cap, so row parity holds).
     // persisted: both verify-join sides re-attach the token sets — without
     // the persist each side re-scans and re-tokenizes the corpus (their
-    // join keys differ, so no exchange is reusable between them). Same
-    // lifetime contract as bandCandidates' bucket cache.
+    // join keys differ, so no exchange is reusable between them). Cache
+    // lifetime: see the honest-contract note on lshPairsWeighted's toks.
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -91,10 +91,16 @@ object Dedup {
     * minima (guide §2.4). Bit-identical output (kernel doc + DedupAnnSpec
     * pin the equality); (id, band ∈ 0..perms−1, bucket) rows as before. */
   private def md5SliceBuckets(docs: DataFrame, idCol: String, textCol: String,
-                              perms: Int, ngram: Int): DataFrame =
+                              perms: Int, ngram: Int): DataFrame = {
+    // central guard (all entry points — lshPairs, lshPairsWeighted,
+    // containmentPairs — route here): the kernel slices a 16-byte digest,
+    // so perms > 4 would index past it at execution time
+    require(perms >= 1 && perms <= 4,
+      s"perms must be 1..4 (a 16-byte md5 digest yields 4 4-byte slices; got $perms)")
     docs.select(col(idCol).as("id"),
       posexplode(org.apache.spark.sql.graft.TextFunctionsImpl.md5_minhash_sig(
         col(textCol), lit(ngram), lit(perms))).as(Seq("band", "bucket")))
+  }
 
   /**
    * [[lshPairs]] with an IDF-WEIGHTED Jaccard verify — the boilerplate
@@ -132,11 +138,14 @@ object Dedup {
     // tokenize + distinct ONCE: four consumers read this lineage (the N
     // count, the df aggregation, the weight maps, the pair verify joins) —
     // uncached, each would re-scan and re-tokenize the corpus. Persisted,
-    // not checkpointed: the returned plan references it lazily. Lifetime:
-    // the handle is function-local, so reclamation is Spark's
-    // ContextCleaner — once the caller releases the returned DataFrame the
-    // cached blocks are unpersisted on driver GC (plus storage-memory LRU
-    // under pressure); each invocation pins ONE cache entry until then.
+    // not checkpointed: the returned plan references it lazily. Lifetime —
+    // honest contract: the session's CacheManager holds the entry until an
+    // explicit unpersist or session end (Dataset caches are NOT reclaimed
+    // by ContextCleaner/GC); memory pressure demotes blocks to disk, never
+    // frees them. Per-run driver/bench sessions bound this naturally; a
+    // LONG-LIVED session calling this repeatedly on varying inputs should
+    // materialize the result and unpersist explicitly (the
+    // KnnJoin/Setback try/finally shape).
     // The shingle pass in md5SliceBuckets is a genuinely different
     // derivation and stays separate.
     val toks = docs.select(col(idCol).as("id"),
@@ -266,9 +275,9 @@ object Dedup {
     // made bucket generation scan-local there is no Exchange left for
     // ReuseExchange to dedup, so without the persist each consumer would
     // re-run the full corpus scan + signature pass. (id, band, bucket) is
-    // perms× the doc count — far narrower than the corpus text. Lifetime:
-    // function-local handle, reclaimed by ContextCleaner once the returned
-    // plan is released (the lshPairsWeighted toks precedent).
+    // perms× the doc count — far narrower than the corpus text. Cache
+    // lifetime: until unpersist or session end — see the honest-contract
+    // note on lshPairsWeighted's toks cache.
     val buckets0 = buckets0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversized = buckets0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
@@ -537,7 +546,7 @@ object Dedup {
     // persisted: both self-join sides read this lineage — when the caller's
     // `sigs` is an unmaterialized signature computation (q39 passes the
     // simhash kernel plan), each side would re-run it (the Dedup cache
-    // pattern; same ContextCleaner lifetime)
+    // pattern; cache lives until unpersist/session end — see lshPairsWeighted)
     val chunked = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col(sigCol), c * bits)
@@ -763,7 +772,11 @@ object Dedup {
       org.apache.spark.sql.types.LongType
     if (smallMax > 0 && longIds && edges0.count() <= smallMax) {
       import spark.implicits._
-      val es = edges0.select(col("u"), col("v")).as[(Long, Long)].collect()
+      // null-id pairs are dropped: the distributed star joins ignore them
+      // identically, and the tuple encoder would reject them at collect
+      val es = edges0.select(col("u"), col("v"))
+        .where(col("u").isNotNull && col("v").isNotNull)
+        .as[(Long, Long)].collect()
       val labels = bruteComponents(es.toSeq).toSeq.sortBy(_._1).toDF("node", "root")
       return (labels, 0)
     }

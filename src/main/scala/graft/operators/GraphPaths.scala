@@ -52,11 +52,19 @@ object GraphPaths {
     val smallMax = graft.core.Confs.longConf(spark,
       "spark.graft.graph.smallGraphMaxEdges", 1L << 20, min = 0L)
     val probeN = math.min(smallMax + 1, Int.MaxValue.toLong - 1).toInt
+    // null-keyed edges are dropped up front: the distributed equi-join below
+    // ignores them identically, and the tuple encoder would reject them at
+    // collect. ONE limited collect serves as both the size probe and the
+    // fast path's input — ≤ smallMax rows back means the limited result IS
+    // the complete edge set (the un-probed alternative ran the edge lineage
+    // twice: once for the count, once for the collect).
     val eNarrow = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    if (smallMax > 0 && eNarrow.limit(probeN).count() <= smallMax) {
-      val es = eNarrow.as[(Long, Long)].collect().toSeq
-      return bruteBfsRounds(es, source, maxDepth, stopAt)
-        .toDF("node", "dist", "pred")
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    if (smallMax > 0) {
+      val es = eNarrow.limit(probeN).as[(Long, Long)].collect()
+      if (es.length <= smallMax)
+        return bruteBfsRounds(es.toSeq, source, maxDepth, stopAt)
+          .toDF("node", "dist", "pred")
     }
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     // materialize the edge table ONCE, pre-partitioned by the per-round join
@@ -177,11 +185,15 @@ object GraphPaths {
     val smallMax = graft.core.Confs.longConf(spark,
       "spark.graft.graph.smallGraphMaxEdges", 1L << 20, min = 0L)
     val probeN = math.min(smallMax + 1, Int.MaxValue.toLong - 1).toInt
+    // null handling + single limited collect: see bfsWithPred
     val eNarrow = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long"))
-    if (smallMax > 0 && eNarrow.limit(probeN).count() <= smallMax) {
-      val es = eNarrow.as[(Long, Long, Long)].collect().toSeq
-      return bruteSsspRounds(es, source, maxRounds).toSeq.sorted.toDF("node", "dist")
+        col("w").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    if (smallMax > 0) {
+      val es = eNarrow.limit(probeN).as[(Long, Long, Long)].collect()
+      if (es.length <= smallMax)
+        return bruteSsspRounds(es.toSeq, source, maxRounds).toSeq.sorted
+          .toDF("node", "dist")
     }
     val ck = graft.core.Checkpoints.strategy(edges, checkpointDir)
     val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"),

@@ -97,18 +97,30 @@ object LangIdKernel {
  * split, empty tokens kept) — the DuckDB oracle replays exactly that.
  */
 object ShingleKernel {
+  /** The ONE tokenizer both shingle kernels share — the bit-identical
+    * contract between shingle_make and md5_minhash_sig (and their DuckDB
+    * oracles) rests on this being a single definition. */
+  private[graft] def toks(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split(" ", -1)
+
+  /** Shingle i = tokens i..i+n-1 joined with single spaces (shared by both
+    * kernels for the same reason as [[toks]]). */
+  private[graft] def shingleAt(toks: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(i))
+    var j = 1
+    while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+    sb.toString
+  }
+
   def eval(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = text.toLowerCase.toString.split(" ", -1)
-    val m = toks.length - n + 1
+    val ts = toks(text)
+    val m = ts.length - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = UTF8String.fromString(shingleAt(ts, i, n))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -150,7 +162,9 @@ object Md5MinHashKernel {
   private val HEX = "0123456789abcdef".toCharArray
 
   def eval(text: UTF8String, n: Int, perms: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val toks = text.toLowerCase.toString.split(" ", -1)
+    // tokenization/shingling shared with ShingleKernel — the bit-identical
+    // contract with the relational shingle_make form depends on it
+    val toks = ShingleKernel.toks(text)
     val m = toks.length - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
@@ -159,11 +173,9 @@ object Md5MinHashKernel {
     java.util.Arrays.fill(mins, 0x100000000L) // > any unsigned 32-bit slice
     var i = 0
     while (i < m) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
       digest.reset()
-      val d = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = digest.digest(ShingleKernel.shingleAt(toks, i, n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var p = 0
       while (p < perms) {
         val v = ((d(4 * p) & 0xffL) << 24) | ((d(4 * p + 1) & 0xffL) << 16) |

@@ -39,6 +39,27 @@ class GraphPathsSpec extends AnyFunSuite {
     }
   }
 
+  test("null-keyed edges are ignored identically on both paths") {
+    // a null src/dst can come from an upstream outer join; the distributed
+    // equi-join never matches it, and the driver fast path must not crash
+    // in the tuple encoder — both paths treat it as a non-edge
+    val e = Seq((Some(0L), Some(1L)), (Some(1L), Some(2L)),
+      (None: Option[Long], Some(9L)), (Some(9L), None: Option[Long]))
+      .toDF("src", "dst")
+    val want = GraphPaths.bruteBfs(Seq((0L, 1L), (1L, 2L)), 0L, 8)
+    val got = GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap
+    assert(got === want)
+    val gotDist = forceDistributed {
+      GraphPaths.bfsLevels(e, 0L, 8).as[(Long, Int)].collect().toMap
+    }
+    assert(gotDist === want)
+    val ew = Seq((Some(0L), Some(1L), Some(3L)), (None: Option[Long], Some(7L), Some(1L)))
+      .toDF("src", "dst", "w")
+    val sssp = GraphPaths.weightedSssp(ew, 0L, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sssp === Map(0L -> 0L, 1L -> 3L))
+  }
+
   test("shortestPathLength: found within budget, None beyond it / unreachable") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
     assert(GraphPaths.shortestPathLength(e, 0L, 3L, maxDepth = 8) === Some(3))
